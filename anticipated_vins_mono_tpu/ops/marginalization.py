@@ -1,0 +1,192 @@
+"""Marginalization: fold sliding-out states into a Gaussian prior.
+
+Capability parity with the reference MarginalizationInfo/MarginalizationFactor
+(/root/reference/vins_estimator/src/factor/marginalization_factor.{h,cpp}):
+
+- re-linearize every factor touching the drop set (prior, IMU 0→1, all
+  projection factors anchored at the oldest frame)        (preMarginalize, :174-196)
+- assemble the dense H = JᵀJ, b = Jᵀr over (window tangent ⊕ dropped
+  landmarks)                                              (ThreadsConstructA, :141-172)
+- Schur-eliminate the drop set via eigendecomposition pseudo-inverse
+  (eps = 1e-8)                                            (marginalize, :267-281)
+- factor the kept information into (J0, r0) via eigenvalue square root
+                                                          (:283-291)
+- remap kept-variable addresses for the slid window       (estimator.cpp:904-922)
+
+TPU-first design: the reference does this with pointer-keyed block maps and a
+4-pthread fan-out (NUM_THREADS=4, marginalization_factor.h:13). Here the drop
+set is expressed as a *mask* over a fixed [D+F] tangent, H comes from the same
+batched `linearize` the solver uses (one matmul), and the Schur/eigh steps are
+small dense ops — the whole thing is one jitted function, vmappable over
+scenario batches.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from anticipated_vins_mono_tpu.ops import lie
+from anticipated_vins_mono_tpu.ops.window import (
+    PriorFactor, WindowConfig, WindowMeasurements, WindowState, linearize)
+
+EIG_EPS = 1e-8  # matches the reference's eps in marginalize() (:267-291)
+
+
+def _augmented_system(state: WindowState, meas: WindowMeasurements,
+                      cfg: WindowConfig, anchor_ref):
+    """H, b over the augmented tangent [D + F] (window ⊕ inverse depths),
+    built from the factors in `meas` (caller pre-masks to the drop-touching
+    subset) via the solver's own batched linearization."""
+    d, f, nf = cfg.dim, cfg.max_feats, cfg.nf
+    r_all, J_all, p_res, p_rows, p_rho = linearize(state, meas, cfg, anchor_ref)
+    # augment projection rows with their landmark column (block-diagonal in l)
+    eye_f = jnp.eye(f, dtype=p_rho.dtype)
+    # p_rho: [F,NF,2]; landmark column one-hot over F
+    p_aug = p_rho[..., None] * eye_f[:, None, None, :]      # [F,NF,2,F]
+    n_proj = f * nf * 2
+    J_proj = jnp.concatenate(
+        [p_rows.reshape(n_proj, d), p_aug.reshape(n_proj, f)], axis=1)
+    J_rest = jnp.concatenate(
+        [J_all[n_proj:], jnp.zeros((J_all.shape[0] - n_proj, f), J_all.dtype)],
+        axis=1)
+    J_aug = jnp.concatenate([J_proj, J_rest], axis=0)       # [N, D+F]
+    H = J_aug.T @ J_aug
+    b = J_aug.T @ r_all
+    return H, b
+
+
+def _masked_schur(H, b, drop_mask):
+    """Schur-eliminate the (dynamically) masked subset.
+
+    H_dd's pseudo-inverse comes from `eigh` with eps-thresholding, exactly the
+    reference's SelfAdjointEigenSolver pattern (marginalization_factor.cpp:
+    267-281) — which also makes the masked-out zero rows/cols harmless.
+    """
+    keep = 1.0 - drop_mask
+    Hdd = H * drop_mask[:, None] * drop_mask[None, :]
+    Hkd = H * keep[:, None] * drop_mask[None, :]
+    w, V = jnp.linalg.eigh(Hdd)
+    inv_w = jnp.where(w > EIG_EPS, 1.0 / jnp.where(w > EIG_EPS, w, 1.0), 0.0)
+    Hdd_inv = (V * inv_w[None, :]) @ V.T
+    b_d = b * drop_mask
+    H_new = H * keep[:, None] * keep[None, :] - Hkd @ Hdd_inv @ Hkd.T
+    b_new = b * keep - Hkd @ (Hdd_inv @ b_d)
+    return H_new, b_new
+
+
+def _sqrt_factor(H, b):
+    """(J0, r0) with J0ᵀJ0 = H, J0ᵀr0 = b via eigenvalue sqrt
+    (marginalization_factor.cpp:283-291)."""
+    w, V = jnp.linalg.eigh(H)
+    ok = w > EIG_EPS
+    w_safe = jnp.where(ok, w, 1.0)
+    s = jnp.sqrt(w_safe) * ok
+    s_inv = jnp.where(ok, 1.0 / jnp.sqrt(w_safe), 0.0)
+    J0 = s[:, None] * V.T
+    r0 = (s_inv[:, None] * V.T) @ b
+    return J0, r0
+
+
+def _shift_matrix(cfg: WindowConfig, drop_frame: int) -> jnp.ndarray:
+    """S [D,D]: dx_old = S @ dx_new after deleting `drop_frame` and appending
+    a fresh newest frame. Mirrors the address-shift bookkeeping in
+    estimator.cpp:904-922 as a pure index remapping."""
+    import numpy as np
+    d, nf = cfg.dim, cfg.nf
+    S = np.zeros((d, d))
+    # poses
+    for i in range(nf):
+        if i == drop_frame:
+            continue
+        new_i = i if i < drop_frame else i - 1
+        S[6 * i: 6 * i + 6, 6 * new_i: 6 * new_i + 6] = np.eye(6)
+    # speed/bias
+    off = 6 * nf
+    for i in range(nf):
+        if i == drop_frame:
+            continue
+        new_i = i if i < drop_frame else i - 1
+        S[off + 9 * i: off + 9 * i + 9,
+          off + 9 * new_i: off + 9 * new_i + 9] = np.eye(9)
+    # extrinsic + td unchanged
+    S[15 * nf:, 15 * nf:] = np.eye(d - 15 * nf)
+    return jnp.asarray(S)
+
+
+def _slide_lin_state(state: WindowState, drop_frame: int,
+                     cfg: WindowConfig) -> WindowState:
+    """Linearization point for the new prior: frames after `drop_frame`
+    shifted down; the (duplicated) newest slot is never referenced because
+    the shifted prior has zero columns there."""
+    nf = cfg.nf
+    idx = jnp.asarray([i for i in range(nf) if i != drop_frame] + [nf - 1])
+    return state._replace(
+        p=state.p[idx], q=state.q[idx], v=state.v[idx],
+        ba=state.ba[idx], bg=state.bg[idx])
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def marginalize_oldest(state: WindowState, meas: WindowMeasurements,
+                       cfg: WindowConfig) -> PriorFactor:
+    """MARGIN_OLD: absorb frame 0 (pose+speedbias), its IMU factor, all
+    projection factors anchored at it (and those landmarks), and the previous
+    prior, into a new prior over the slid window.
+
+    Mirrors estimator.cpp:817-902: drop set = para_Pose[0], para_SpeedBias[0]
+    and every feature with start_frame == 0.
+    """
+    d, f, nf = cfg.dim, cfg.max_feats, cfg.nf
+    dtype = state.p.dtype
+
+    # restrict factors to the drop-touching subset
+    anchored0 = (meas.anchor == 0).astype(dtype) * meas.feat_valid
+    meas_m = meas._replace(
+        feat_valid=anchored0,
+        pre_valid=meas.pre_valid * (jnp.arange(cfg.window) == 0).astype(dtype),
+    )
+    # gauge anchor rows participate via linearize (they touch pose 0 only when
+    # no prior exists — exactly when their info must seed the new prior)
+    anchor_ref = (state.p[0], state.q[0])
+    H, b = _augmented_system(state, meas_m, cfg, anchor_ref)
+
+    drop = jnp.zeros(d + f, dtype)
+    drop = drop.at[0:6].set(1.0)                       # pose 0
+    drop = drop.at[6 * nf: 6 * nf + 9].set(1.0)        # speed/bias 0
+    drop = drop.at[d:].set(anchored0)                  # dropped landmarks
+    H2, b2 = _masked_schur(H, b, drop)
+
+    # kept landmarks never appear in the marginalized factors → their rows
+    # are zero; restrict to the window tangent.
+    Hk, bk = H2[:d, :d], b2[:d]
+    J0, r0 = _sqrt_factor(Hk, bk)
+
+    S = _shift_matrix(cfg, 0).astype(dtype)
+    J0s = J0 @ S
+    return PriorFactor(J0=J0s, r0=r0,
+                       lin=_slide_lin_state(state, 0, cfg),
+                       weight=jnp.ones((), dtype))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def marginalize_second_newest(state: WindowState, prior: PriorFactor,
+                              cfg: WindowConfig) -> PriorFactor:
+    """MARGIN_SECOND_NEW: drop frame NF-2 from the *prior only* — its visual
+    factors are simply discarded (non-keyframe) and its IMU measurements are
+    merged by the estimator. Mirrors estimator.cpp:905-989."""
+    d, nf = cfg.dim, cfg.nf
+    dtype = prior.J0.dtype
+    H = prior.J0.T @ prior.J0
+    b = prior.J0.T @ prior.r0
+    fidx = nf - 2
+    drop = jnp.zeros(d, dtype)
+    drop = drop.at[6 * fidx: 6 * fidx + 6].set(1.0)
+    drop = drop.at[6 * nf + 9 * fidx: 6 * nf + 9 * fidx + 9].set(1.0)
+    H2, b2 = _masked_schur(H, b, drop)
+    J0, r0 = _sqrt_factor(H2, b2)
+    S = _shift_matrix(cfg, fidx).astype(dtype)
+    return PriorFactor(J0=J0 @ S, r0=r0,
+                       lin=_slide_lin_state(state, fidx, cfg),
+                       weight=prior.weight)
