@@ -1,0 +1,475 @@
+"""Sliding-window VIO estimator — host orchestration over jitted device steps.
+
+Capability parity with the reference Estimator + estimator_node
+(/root/reference/vins_estimator/src/estimator.cpp, estimator_node.cpp):
+
+- measurement alignment & IMU-rate propagation   (estimator_node.cpp:44-141)
+- keyframe decision → marginalization flag       (estimator.cpp:117-120)
+- triangulation of new landmarks                 (estimator.cpp:471)
+- windowed optimization (one jitted LM solve)    (estimator.cpp:661-994)
+- yaw-gauge re-anchoring after each solve        (double2vector, :521-568)
+- marginalization + window slide                 (:817-990, 996-1081)
+- failure detection + reboot                     (:612-658, 186-194)
+- outlier rejection                              (f_manager.removeOutlier)
+
+TPU-first split: ALL numerics (preintegration, LM solve, marginalization,
+triangulation) are jitted device functions with static shapes; the host only
+mutates the padded feature DB, shuffles window slots, and decides branches —
+the roles the reference spreads across threads + mutexes collapse into a
+single-threaded feed of pure device steps (SURVEY.md §2.6).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from anticipated_vins_mono_tpu.ops import lie
+from anticipated_vins_mono_tpu.ops.preintegration import ImuNoise, preintegrate
+from anticipated_vins_mono_tpu.ops.factors import GRAVITY
+from anticipated_vins_mono_tpu.ops.triangulation import triangulate
+from anticipated_vins_mono_tpu.ops.window import (
+    PriorFactor, WindowConfig, WindowMeasurements, WindowState, lm_solve)
+from anticipated_vins_mono_tpu.ops import marginalization as mg
+from anticipated_vins_mono_tpu.models.feature_db import FeatureDB
+from anticipated_vins_mono_tpu.utils.sequence import FrameMeasurement
+
+MAX_IMU_PER_PAIR = 64  # static pad for per-pair raw IMU buffers
+
+
+def _merge_imu_pairs(a: dict, b: dict) -> dict:
+    """Concatenate two raw-IMU pair buffers (non-keyframe slide merges the
+    dropped interval into its successor, reference slideWindowNew +
+    IntegrationBase::push_back). If the result overflows the static pad,
+    adjacent samples are fused (dt-summed, dt-weighted averaged) — only long
+    stationary/non-keyframe streaks ever hit this, where the coarser
+    quadrature is harmless."""
+    dts = np.concatenate([a["dts"], b["dts"]])
+    acc = np.concatenate([a["acc"], b["acc"]])
+    gyr = np.concatenate([a["gyr"], b["gyr"]])
+    while len(dts) > MAX_IMU_PER_PAIR:
+        n = len(dts) // 2 * 2
+        d2 = dts[:n].reshape(-1, 2)
+        w = d2 / np.maximum(d2.sum(1, keepdims=True), 1e-12)
+        acc2 = (acc[:n].reshape(-1, 2, 3) * w[..., None]).sum(1)
+        gyr2 = (gyr[:n].reshape(-1, 2, 3) * w[..., None]).sum(1)
+        dts = np.concatenate([d2.sum(1), dts[n:]])
+        acc = np.concatenate([acc2, acc[n:]])
+        gyr = np.concatenate([gyr2, gyr[n:]])
+    return {"dts": dts, "acc": acc, "gyr": gyr,
+            "acc0": a["acc0"], "gyr0": a["gyr0"]}
+
+
+@dataclass
+class EstimatorDiagnostics:
+    solves: int = 0
+    failures: int = 0
+    keyframes: int = 0
+    costs: list = field(default_factory=list)
+
+
+class VioEstimator:
+    """Host-side sliding-window estimator."""
+
+    def __init__(self, cfg: WindowConfig, noise: ImuNoise = ImuNoise(),
+                 dtype=jnp.float64,
+                 init_state: Optional[dict] = None,
+                 tic: Optional[np.ndarray] = None,
+                 qic: Optional[np.ndarray] = None,
+                 selector=None):
+        self.cfg = cfg
+        # optional anticipation/attention selector (models.feature_selector.
+        # AttentionSelector) — applied to incoming features like the
+        # reference's f_selector->select() call (estimator_node.cpp:340)
+        self.selector = selector
+        self.noise = noise
+        self.dtype = dtype
+        self.init_hint = init_state or {}
+        # oracle_init: trust the provided first-frame state + zero biases and
+        # skip the visual-inertial initialization chain (tests/benchmarks on
+        # bias-free synthetic data)
+        self.oracle_init = bool(init_state) and init_state.get("oracle", True)
+        self.tic0 = np.zeros(3) if tic is None else np.asarray(tic, float)
+        self.qic0 = np.array([1.0, 0, 0, 0]) if qic is None else np.asarray(qic, float)
+        self.reset()
+
+    # ------------------------------------------------------------------
+
+    def reset(self):
+        cfg = self.cfg
+        self.db = FeatureDB(cfg.max_feats, cfg.nf)
+        self.p = np.zeros((cfg.nf, 3))
+        self.q = np.tile(np.array([1.0, 0, 0, 0]), (cfg.nf, 1))
+        self.v = np.zeros((cfg.nf, 3))
+        self.ba = np.zeros((cfg.nf, 3))
+        self.bg = np.zeros((cfg.nf, 3))
+        self.td = 0.0
+        self.tic = self.tic0.copy()
+        self.qic = self.qic0.copy()
+        self.prior = PriorFactor.empty(cfg, self.dtype)
+        self.n_frames = 0
+        self.imu_pairs: list = []   # raw IMU per adjacent pair
+        self.frame_times: list = []
+        self.trajectory: list = []  # (t, p, q, v) of the newest frame
+        self.diag = EstimatorDiagnostics()
+        self.initialized = False
+
+    # ------------------------------------------------------------------
+    # IMU-rate propagation (midpoint, matching estimator_node predict(),
+    # estimator_node.cpp:44-80)
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _propagate(p, q, v, ba, bg, dts, accs, gyrs, acc0, gyr0):
+        g = np.array([0.0, 0.0, -GRAVITY])
+        a_prev, w_prev = acc0, gyr0
+        for dt, a, w in zip(dts, accs, gyrs):
+            un_w = 0.5 * (w_prev + w) - bg
+            q_new = np.asarray(lie.quat_mul(
+                jnp.asarray(q), lie.exp_so3_quat(jnp.asarray(un_w * dt))))
+            q_new = q_new / np.linalg.norm(q_new)
+            R0 = np.asarray(lie.quat_to_rot(jnp.asarray(q)))
+            R1 = np.asarray(lie.quat_to_rot(jnp.asarray(q_new)))
+            un_a = 0.5 * (R0 @ (a_prev - ba) + R1 @ (a - ba)) + g
+            p = p + v * dt + 0.5 * un_a * dt * dt
+            v = v + un_a * dt
+            q = q_new
+            a_prev, w_prev = a, w
+        return p, q, v
+
+    # ------------------------------------------------------------------
+
+    def process_frame(self, fm: FrameMeasurement):
+        cfg = self.cfg
+        k = self.n_frames
+
+        if k == 0:
+            # first frame: align roll/pitch with measured gravity
+            # (matches initialStructure's g2R usage, estimator.cpp:416-426)
+            if "p" in self.init_hint:
+                self.p[0] = self.init_hint["p"]
+                self.q[0] = self.init_hint["q"]
+                self.v[0] = self.init_hint.get("v", np.zeros(3))
+            else:
+                R0 = np.asarray(lie.gravity_to_rot(jnp.asarray(fm.acc0)))
+                self.q[0] = np.asarray(lie.rot_to_quat(jnp.asarray(R0.T)))
+            self.db.add_frame(0, fm.feats)
+            self.frame_times.append(fm.t)
+            self.n_frames = 1
+            self._record_output(fm.t, 0)
+            return
+
+        # store raw IMU for pair (k-1 → k) and propagate the new frame state
+        self.imu_pairs.append({
+            "dts": np.asarray(fm.imu_dts, float),
+            "acc": np.asarray(fm.imu_acc, float),
+            "gyr": np.asarray(fm.imu_gyr, float),
+            "acc0": np.asarray(fm.acc0, float),
+            "gyr0": np.asarray(fm.gyr0, float),
+        })
+        self.p[k], self.q[k], self.v[k] = self._propagate(
+            self.p[k - 1], self.q[k - 1], self.v[k - 1],
+            self.ba[k - 1], self.bg[k - 1],
+            fm.imu_dts, fm.imu_acc, fm.imu_gyr, fm.acc0, fm.gyr0)
+        self.ba[k] = self.ba[k - 1]
+        self.bg[k] = self.bg[k - 1]
+
+        feats = fm.feats
+        if self.selector is not None and self.initialized and len(fm.imu_acc):
+            state_k1 = {
+                "p": self.p[k], "q": self.q[k], "v": self.v[k],
+                "ba": self.ba[k], "bg": self.bg[k],
+                "acc": np.asarray(fm.imu_acc[-1], float),
+                "gyr": np.asarray(fm.imu_gyr[-1], float),
+            }
+            feats = self.selector.select(feats, state_k1, self.db)
+        keyframe = self.db.add_frame(k, feats)
+        self.frame_times.append(fm.t)
+        self.n_frames += 1
+
+        if self.n_frames < cfg.nf:
+            self._record_output(fm.t, k)
+            return
+
+        if not self.initialized and not self.oracle_init:
+            if not self._try_initialize():
+                # stay in INITIAL: slide without building a prior
+                # (estimator.cpp:151-179 — init retried as frames arrive)
+                if keyframe:
+                    R0 = np.asarray(lie.quat_to_rot(jnp.asarray(self.q[0])))
+                    R1 = np.asarray(lie.quat_to_rot(jnp.asarray(self.q[1])))
+                    Ric = np.asarray(lie.quat_to_rot(jnp.asarray(self.qic)))
+                    self.db.slide_oldest(R0, self.p[0], R1, self.p[1],
+                                         self.tic, Ric)
+                    self._shift_state(0)
+                    self.imu_pairs.pop(0)
+                    self.frame_times.pop(0)
+                else:
+                    self.db.slide_second_newest()
+                    self._shift_state(cfg.nf - 2)
+                    a = self.imu_pairs.pop(cfg.nf - 3)
+                    b = self.imu_pairs[cfg.nf - 3]
+                    self.imu_pairs[cfg.nf - 3] = _merge_imu_pairs(a, b)
+                    self.frame_times.pop(cfg.nf - 2)
+                self.n_frames = cfg.nf - 1
+                self._record_output(fm.t, cfg.nf - 2)
+                return
+
+        # ---- window full: triangulate, solve, marginalize, slide
+        state = self._device_state()
+        meas = self._measurements(state)
+
+        inv_d, good = triangulate(state, meas.pts, meas.mask, meas.anchor, cfg)
+        fresh = (self.db.solved < 0.5) & (self.db.feat_valid > 0)
+        self.db.inv_depth[fresh] = np.asarray(inv_d)[fresh]
+        self.db.solved[fresh] = np.asarray(good)[fresh]
+        state = state._replace(inv_depth=jnp.asarray(self.db.inv_depth, self.dtype))
+        # only solved landmarks participate in the BA
+        meas = meas._replace(feat_valid=meas.feat_valid *
+                             jnp.asarray(self.db.solved, self.dtype))
+
+        p0_before = self.p[0].copy()
+        yaw0_before = float(np.asarray(lie.rot_to_ypr(
+            lie.quat_to_rot(jnp.asarray(self.q[0]))))[0])
+
+        new_state, sdiag = lm_solve(state, meas, cfg)
+        self.diag.solves += 1
+        self.diag.costs.append(float(sdiag["cost"]))
+        self.last_solve = (state, meas, new_state)  # diagnostics hook
+
+        if self._failure(new_state):
+            self.diag.failures += 1
+            self.reset()
+            return
+
+        self._adopt(new_state)
+        # NOTE: unlike the reference's double2vector yaw re-anchoring
+        # (estimator.cpp:521-568), the window is NOT rigidly re-anchored
+        # after the solve: our marginalization prior carries (soft) absolute
+        # gauge information inherited from the first window's anchor rows, so
+        # re-anchoring would fight the prior and random-walk the gauge.
+        self._reject_outliers()
+        self.initialized = True
+
+        # marginalize + slide (estimator.cpp:817-990 + slideWindow :996-1081)
+        state_sol = self._device_state()
+        if keyframe:
+            self.diag.keyframes += 1
+            self.prior = mg.marginalize_oldest(state_sol, self._measurements(
+                state_sol), cfg)
+            R0 = np.asarray(lie.quat_to_rot(jnp.asarray(self.q[0])))
+            R1 = np.asarray(lie.quat_to_rot(jnp.asarray(self.q[1])))
+            Ric = np.asarray(lie.quat_to_rot(jnp.asarray(self.qic)))
+            self.db.slide_oldest(R0, self.p[0], R1, self.p[1], self.tic, Ric)
+            self._shift_state(0)
+            self.imu_pairs.pop(0)
+            self.frame_times.pop(0)
+        else:
+            self.prior = mg.marginalize_second_newest(state_sol, self.prior, cfg)
+            self.db.slide_second_newest()
+            self._shift_state(cfg.nf - 2)
+            # merge the IMU of the dropped pair into its successor
+            a = self.imu_pairs.pop(cfg.nf - 3)
+            b = self.imu_pairs[cfg.nf - 3]
+            self.imu_pairs[cfg.nf - 3] = _merge_imu_pairs(a, b)
+            self.frame_times.pop(cfg.nf - 2)
+        self.n_frames = cfg.nf - 1
+        self._record_output(fm.t, cfg.nf - 2)
+
+    # ------------------------------------------------------------------
+    # visual-inertial initialization (initialStructure + visualInitialAlign,
+    # estimator.cpp:211-431)
+    # ------------------------------------------------------------------
+
+    def _try_initialize(self) -> bool:
+        from anticipated_vins_mono_tpu.models import initialization as vi_init
+        cfg = self.cfg
+        nf = cfg.nf
+        self._init_attempts = getattr(self, "_init_attempts", 0) + 1
+
+        sfm = vi_init.construct_sfm(self.db.pts, self.db.mask, nf,
+                                    seed=self._init_attempts)
+        if sfm is None:
+            return False
+        R_cw, c_w = sfm["R_cw"], sfm["c_w"]
+        Ric = np.asarray(lie.quat_to_rot(jnp.asarray(self.qic)))  # cam→body
+        # body→world rotations: R_wb = R_cwᵀ · Ricᵀ
+        R_wb = np.einsum("nij->nji", R_cw) @ Ric.T
+        q_wb = np.stack([np.asarray(lie.rot_to_quat(jnp.asarray(R)))
+                         for R in R_wb])
+
+        # gyro bias LS + repropagation (initial_aligment.cpp:3-37)
+        pres = [jax.tree_util.tree_map(lambda x, i=i: x[i],
+                                       self._preintegrate_pairs())
+                for i in range(cfg.window)]
+        dbg = vi_init.solve_gyro_bias(q_wb, pres)
+        if not np.all(np.isfinite(dbg)) or np.linalg.norm(dbg) > 1.0:
+            return False
+        self.bg[:] = self.bg + dbg
+        pre_stack = self._preintegrate_pairs()
+        pres = [jax.tree_util.tree_map(lambda x, i=i: x[i], pre_stack)
+                for i in range(cfg.window)]
+
+        out = vi_init.linear_alignment(R_wb, c_w, pres, self.tic)
+        if out is None:
+            return False
+        vel_body, g_w, s = out
+
+        # apply (visualInitialAlign, estimator.cpp:355-431): metric scale,
+        # gravity-aligned world with zero initial yaw
+        p_b = s * c_w - np.einsum("nij,j->ni", R_wb, self.tic)
+        p_b = p_b - p_b[0]
+        R0 = np.asarray(lie.gravity_to_rot(jnp.asarray(g_w)))
+        yaw0 = float(np.asarray(lie.rot_to_ypr(jnp.asarray(R0 @ R_wb[0])))[0])
+        Rfix = np.asarray(lie.ypr_to_rot(jnp.asarray([-yaw0, 0.0, 0.0]))) @ R0
+        self.p[:] = p_b @ Rfix.T
+        for i in range(nf):
+            self.q[i] = np.asarray(lie.rot_to_quat(jnp.asarray(Rfix @ R_wb[i])))
+            self.v[i] = Rfix @ (R_wb[i] @ vel_body[i])
+        self.ba[:] = 0.0
+        # depths: force re-triangulation with the metric poses
+        self.db.solved[:] = 0
+        self.db.inv_depth[:] = 1.0
+        self.trajectory.clear()   # outputs restart at initialization
+        self.initialized = True
+        return True
+
+    # ------------------------------------------------------------------
+    # helpers
+    # ------------------------------------------------------------------
+
+    def _device_state(self) -> WindowState:
+        d = self.dtype
+        return WindowState(
+            p=jnp.asarray(self.p, d), q=jnp.asarray(self.q, d),
+            v=jnp.asarray(self.v, d), ba=jnp.asarray(self.ba, d),
+            bg=jnp.asarray(self.bg, d),
+            tic=jnp.asarray(self.tic, d), qic=jnp.asarray(self.qic, d),
+            td=jnp.asarray(self.td, d),
+            inv_depth=jnp.asarray(self.db.inv_depth, d))
+
+    def _preintegrate_pairs(self):
+        """One jitted vmapped preintegration over all W pairs (padded)."""
+        cfg, d = self.cfg, self.dtype
+        W, S = cfg.window, MAX_IMU_PER_PAIR
+        dts = np.zeros((W, S))
+        acc = np.zeros((W, S, 3))
+        gyr = np.zeros((W, S, 3))
+        a0 = np.zeros((W, 3))
+        g0 = np.zeros((W, 3))
+        for i in range(W):
+            pair = self.imu_pairs[i]
+            n = len(pair["dts"])
+            assert n <= S, "raise MAX_IMU_PER_PAIR"
+            dts[i, :n] = pair["dts"]
+            acc[i, :n] = pair["acc"]
+            gyr[i, :n] = pair["gyr"]
+            a0[i] = pair["acc0"]
+            g0[i] = pair["gyr0"]
+        if not hasattr(self, "_pre_jit"):
+            noise = self.noise
+            self._pre_jit = jax.jit(jax.vmap(
+                lambda dt, a, g, a0_, g0_, ba, bg: preintegrate(
+                    dt, a, g, a0_, g0_, ba, bg, noise)))
+        return self._pre_jit(
+            jnp.asarray(dts, d), jnp.asarray(acc, d), jnp.asarray(gyr, d),
+            jnp.asarray(a0, d), jnp.asarray(g0, d),
+            jnp.asarray(self.ba[:W], d), jnp.asarray(self.bg[:W], d))
+
+    def _measurements(self, state: WindowState) -> WindowMeasurements:
+        cfg, d = self.cfg, self.dtype
+        pre = self._preintegrate_pairs()
+        return WindowMeasurements(
+            pre=pre, pre_valid=jnp.ones(cfg.window, d),
+            pts=jnp.asarray(self.db.pts, d),
+            vel=jnp.asarray(self.db.vel, d),
+            mask=jnp.asarray(self.db.mask, d),
+            anchor=jnp.asarray(self.db.anchor),
+            feat_valid=jnp.asarray(self.db.feat_valid, d),
+            prior=self.prior)
+
+    def _adopt(self, st: WindowState):
+        self.p = np.array(st.p)
+        self.q = np.array(st.q)
+        self.v = np.array(st.v)
+        self.ba = np.array(st.ba)
+        self.bg = np.array(st.bg)
+        self.tic = np.array(st.tic)
+        self.qic = np.array(st.qic)
+        self.td = float(st.td)
+        self.db.inv_depth = np.asarray(st.inv_depth).copy()
+
+    def _yaw_reanchor(self, p0_before, yaw0_before):
+        """Rigidly rotate/translate the window so frame 0 keeps its pre-solve
+        position and yaw (double2vector, estimator.cpp:521-568)."""
+        yaw0_after = float(np.asarray(lie.rot_to_ypr(
+            lie.quat_to_rot(jnp.asarray(self.q[0]))))[0])
+        dyaw = yaw0_before - yaw0_after
+        Rz = np.asarray(lie.ypr_to_rot(jnp.asarray([dyaw, 0.0, 0.0])))
+        qz = np.asarray(lie.rot_to_quat(jnp.asarray(Rz)))
+        self.p = (self.p - self.p[0]) @ Rz.T + p0_before
+        self.q = np.array(lie.quat_mul(jnp.asarray(qz), jnp.asarray(self.q)))
+        self.v = self.v @ Rz.T
+
+    def _shift_state(self, drop: int):
+        for arr in (self.p, self.q, self.v, self.ba, self.bg):
+            arr[drop:-1] = arr[drop + 1:]
+
+    def _failure(self, st: WindowState) -> bool:
+        """failureDetection (estimator.cpp:612-658)."""
+        nf = self.cfg.nf
+        ba = np.asarray(st.ba[nf - 1])
+        bg = np.asarray(st.bg[nf - 1])
+        if np.linalg.norm(ba) > 2.5 or np.linalg.norm(bg) > 1.0:
+            return True
+        dp = np.asarray(st.p[nf - 1]) - self.p[nf - 1]
+        if np.linalg.norm(dp) > 5.0 or abs(dp[2]) > 1.0:
+            return True
+        if not np.all(np.isfinite(np.asarray(st.p))):
+            return True
+        return False
+
+    def _reject_outliers(self, demote_px: float = 20.0):
+        """Depth-failure handling (reference removeFailures semantics).
+
+        Features whose depth collapsed to the clamp, or whose reprojection is
+        grossly wrong, are DEMOTED (solved=0, depth reset → re-triangulated
+        next frame with their full track history) — never deleted. Deleting
+        re-allocates the same tracker id as a fresh zero-baseline track and
+        permanently destroys its history, which ratchets drift during
+        low-excitation phases. Per-observation robustness is the Cauchy
+        loss's job (estimator.cpp:717).
+        """
+        db, cfg = self.db, self.cfg
+        R = np.asarray(lie.quat_to_rot(jnp.asarray(self.q)))
+        Ric = np.asarray(lie.quat_to_rot(jnp.asarray(self.qic)))
+        valid = np.nonzero(db.feat_valid * db.solved)[0]
+        anchor = db.anchor
+        for s in valid:
+            a = anchor[s]
+            demote = db.inv_depth[s] <= self.cfg.min_inv_depth * 1.001
+            if not demote:
+                ptc = db.pts[s, a] / db.inv_depth[s]
+                pw = R[a] @ (Ric @ ptc + self.tic) + self.p[a]
+                errs = []
+                for j in np.nonzero(db.mask[s])[0]:
+                    if j == a:
+                        continue
+                    pc = Ric.T @ (R[j].T @ (pw - self.p[j]) - self.tic)
+                    if pc[2] < 1e-3:
+                        errs.append(100.0)
+                        continue
+                    e = pc[:2] / pc[2] - db.pts[s, j, :2]
+                    errs.append(np.linalg.norm(e) * 460.0)
+                demote = bool(errs and np.mean(errs) > demote_px)
+            if demote:
+                db.solved[s] = 0
+                db.inv_depth[s] = 0.2
+
+    def _record_output(self, t: float, slot: int):
+        self.trajectory.append((
+            t, self.p[slot].copy(), self.q[slot].copy(), self.v[slot].copy()))

@@ -1,0 +1,161 @@
+"""Attention feature selection orchestration — FeatureSelector::select parity.
+
+Mirrors /root/reference/vins_estimator/src/feature_selector.cpp:74-202:
+
+1. split incoming measurements into tracked vs new by feature-id watermark
+   (splitOnFeatureId, :208-219)
+2. generate the future state horizon (imu | gt mode)
+3. Ω_{k:k+H} from anticipated motion + identity prior
+4. Δ_ℓ for new candidates and for the already-tracked subset
+5. κ = max_features − |tracked|; greedy logdet selection of new features
+
+Pre-initialization behavior matches :172-187 — the first image and images
+below `init_threshold` tracked features pass everything through.
+
+Host part: id bookkeeping + dict packing. Device part: one jitted pipeline
+(horizon → Ω → batched Δ_ℓ → κ-round batched-Cholesky greedy).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from anticipated_vins_mono_tpu.models import anticipation as ant
+from anticipated_vins_mono_tpu.ops import lie
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "kappa", "n_imu"))
+def _device_select(cfg: ant.SelectorConfig, kappa: int, n_imu: int,
+                   dt_imu: float,
+                   p_k1, q_k1, v_k1, acc, gyr, ba, bg,
+                   tic, qic,
+                   cand_pts, cand_probs, cand_valid,
+                   used_pts, used_depths, used_valid,
+                   lm_uv, lm_depth, lm_mask):
+    """The full anticipation pipeline as one device program."""
+    # 1. horizon (imu mode)
+    ps, qs, vs = ant.imu_horizon(p_k1, q_k1, v_k1, acc, gyr, ba, bg,
+                                 cfg.horizon, n_imu, dt_imu)
+    # camera poses over the horizon
+    p_wc = ps + lie.quat_rotate(qs, jnp.broadcast_to(tic, ps.shape))
+    q_wc = lie.quat_mul(qs, jnp.broadcast_to(qic, qs.shape))
+
+    # 2. Omega from motion + prior placeholder
+    Omega = ant.omega_from_motion(qs, n_imu, dt_imu, cfg)
+    Omega = ant.add_omega_prior(Omega)
+
+    # 3. candidate depths by nearest current landmark
+    cand_depths = ant.nn_depths(cand_pts[:, :2], lm_uv, lm_depth, lm_mask)
+
+    # 4. Δ_ℓ for candidates and for the tracked subset
+    d_fn = jax.vmap(lambda b, d: ant.delta_ell(b, d, p_wc, q_wc, cfg))
+    Deltas, nvis = d_fn(cand_pts, cand_depths)
+    Deltas = jnp.where(cand_valid[:, None, None] > 0, Deltas, 0.0)
+    D_used, _ = d_fn(used_pts, used_depths)
+    D_used = jnp.where(used_valid[:, None, None] > 0, D_used, 0.0)
+
+    # 5. Ω ← Ω + Σ p·Δ_used (:620-623), then greedy over candidates
+    Omega = Omega + jnp.sum(D_used, axis=0)
+    sel, OmF = ant.select_informative(
+        Omega, Deltas, cand_probs, cand_valid * (nvis >= 2), kappa)
+    return sel, OmF, ps, qs
+
+
+class AttentionSelector:
+    """Host wrapper holding the id watermark + config."""
+
+    def __init__(self, cfg: ant.SelectorConfig, max_candidates: int = 128,
+                 tic: Optional[np.ndarray] = None,
+                 qic: Optional[np.ndarray] = None,
+                 frame_dt: float = 0.1, imu_rate: float = 200.0):
+        self.cfg = cfg
+        self.max_candidates = max_candidates
+        self.last_feature_id = -1
+        self.first_image = True
+        self.tic = np.zeros(3) if tic is None else np.asarray(tic, float)
+        self.qic = np.array([1.0, 0, 0, 0]) if qic is None else np.asarray(qic, float)
+        self.n_imu = int(round(frame_dt * imu_rate))
+        self.dt_imu = 1.0 / imu_rate
+
+    def select(self, feats: dict, state_k1: dict, db=None) -> dict:
+        """feats: {id: (pt3, vel2, prob)} → pruned dict (tracked ∪ selected).
+
+        state_k1: {"p","q","v","ba","bg","acc","gyr"} — the IMU-propagated
+        next state + latest IMU sample (setNextStateFromImuPropagation,
+        feature_selector.h:64-68).
+        """
+        cfg = self.cfg
+        tracked = {i: f for i, f in feats.items() if i <= self.last_feature_id}
+        new = {i: f for i, f in feats.items() if i > self.last_feature_id}
+        if feats:
+            self.last_feature_id = max(feats.keys())
+
+        # pass-through regimes (feature_selector.cpp:172-187)
+        if self.first_image or len(tracked) < cfg.init_threshold:
+            self.first_image = False
+            return feats
+
+        kappa = cfg.max_features - len(tracked)
+        if kappa <= 0 or not new:
+            return tracked
+
+        F = self.max_candidates
+        ids = list(new.keys())[:F]
+        cand_pts = np.zeros((F, 3))
+        cand_probs = np.ones(F)
+        cand_valid = np.zeros(F)
+        for k, i in enumerate(ids):
+            pt, vel, prob = new[i]
+            cand_pts[k] = pt
+            cand_probs[k] = prob
+            cand_valid[k] = 1.0
+
+        # tracked subset with current depth estimates (for Δ_used)
+        U = F
+        used_pts = np.zeros((U, 3))
+        used_depths = np.full(U, 5.0)
+        used_valid = np.zeros(U)
+        lm_uv = np.zeros((F, 2))
+        lm_depth = np.full(F, 5.0)
+        lm_mask = np.zeros(F)
+        if db is not None:
+            slots = np.nonzero((db.ids >= 0) & (db.solved > 0))[0][:F]
+            for k, s in enumerate(slots):
+                a = db.anchor[s]
+                lm_uv[k] = db.pts[s, a, :2]
+                lm_depth[k] = 1.0 / max(db.inv_depth[s], 1e-3)
+                lm_mask[k] = 1.0
+        for k, i in enumerate(list(tracked.keys())[:U]):
+            pt, vel, prob = tracked[i]
+            used_pts[k] = pt
+            used_valid[k] = 1.0
+            if db is not None:
+                s = db._find(i)
+                if s >= 0 and db.solved[s] > 0:
+                    used_depths[k] = 1.0 / max(db.inv_depth[s], 1e-3)
+
+        sel, OmF, ps, qs = _device_select(
+            cfg, int(kappa), self.n_imu, self.dt_imu,
+            jnp.asarray(state_k1["p"]), jnp.asarray(state_k1["q"]),
+            jnp.asarray(state_k1["v"]),
+            jnp.asarray(state_k1["acc"]), jnp.asarray(state_k1["gyr"]),
+            jnp.asarray(state_k1.get("ba", np.zeros(3))),
+            jnp.asarray(state_k1.get("bg", np.zeros(3))),
+            jnp.asarray(self.tic), jnp.asarray(self.qic),
+            jnp.asarray(cand_pts), jnp.asarray(cand_probs),
+            jnp.asarray(cand_valid),
+            jnp.asarray(used_pts), jnp.asarray(used_depths),
+            jnp.asarray(used_valid),
+            jnp.asarray(lm_uv), jnp.asarray(lm_depth), jnp.asarray(lm_mask))
+        sel = np.asarray(sel)
+
+        out = dict(tracked)
+        for k, i in enumerate(ids):
+            if sel[k] > 0.5:
+                out[i] = new[i]
+        return out

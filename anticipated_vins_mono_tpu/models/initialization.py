@@ -1,0 +1,368 @@
+"""Visual-inertial initialization — SfM-lite + gyro bias + linear alignment.
+
+Capability parity with the reference `initial/` package
+(/root/reference/vins_estimator/src/initial/):
+
+- relative pose by essential matrix on normalized coords with RANSAC
+  (solve_5pts.cpp:193-230 — here 8-point instead of 5-point: with ≥20
+  correspondences and known intrinsics the LS essential estimate is
+  equivalent in practice)
+- windowed structure: fix frame l and newest, triangulate, PnP the rest
+  (initial_sfm.cpp:117-244)
+- gyroscope-bias least squares on SfM vs preintegrated rotations
+  (initial_aligment.cpp:3-37)
+- linear velocity/gravity/scale alignment + 2-dof gravity refinement
+  (initial_aligment.cpp:55-197; the /100 scale conditioning at :151,180)
+
+Host-side numpy by design: initialization runs once (or rarely, after a
+failure reboot) on an 11-frame problem — not a hot path. The hot path
+(repropagation + windowed BA) stays on device.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from anticipated_vins_mono_tpu.ops import lie
+
+GRAVITY_MAG = 9.81007
+
+
+def _quat_to_R(q):
+    return np.asarray(lie.quat_to_rot(jnp.asarray(q)))
+
+
+def _R_to_quat(R):
+    return np.asarray(lie.rot_to_quat(jnp.asarray(R)))
+
+
+# ----------------------------------------------------------------------------
+# Two-view geometry
+# ----------------------------------------------------------------------------
+
+
+def essential_8pt(x1: np.ndarray, x2: np.ndarray) -> np.ndarray:
+    """Least-squares essential matrix from normalized correspondences
+    [N,2] each (z=1 plane). Enforces the (1,1,0) singular structure."""
+    n = len(x1)
+    A = np.zeros((n, 9))
+    u1, v1 = x1[:, 0], x1[:, 1]
+    u2, v2 = x2[:, 0], x2[:, 1]
+    A[:, 0] = u2 * u1
+    A[:, 1] = u2 * v1
+    A[:, 2] = u2
+    A[:, 3] = v2 * u1
+    A[:, 4] = v2 * v1
+    A[:, 5] = v2
+    A[:, 6] = u1
+    A[:, 7] = v1
+    A[:, 8] = 1.0
+    _, _, Vt = np.linalg.svd(A)
+    E = Vt[-1].reshape(3, 3)
+    U, S, Vt2 = np.linalg.svd(E)
+    return U @ np.diag([1.0, 1.0, 0.0]) @ Vt2
+
+
+def _triangulate_pair(R, t, x1, x2):
+    """Linear triangulation in frame 1; P2 = [R|t] maps frame1→frame2."""
+    n = len(x1)
+    X = np.zeros((n, 3))
+    P1 = np.hstack([np.eye(3), np.zeros((3, 1))])
+    P2 = np.hstack([R, t[:, None]])
+    for k in range(n):
+        A = np.stack([
+            x1[k, 0] * P1[2] - P1[0],
+            x1[k, 1] * P1[2] - P1[1],
+            x2[k, 0] * P2[2] - P2[0],
+            x2[k, 1] * P2[2] - P2[1]])
+        _, _, Vt = np.linalg.svd(A)
+        Xh = Vt[-1]
+        X[k] = Xh[:3] / (Xh[3] if abs(Xh[3]) > 1e-12 else 1e-12)
+    return X
+
+
+def recover_pose(E, x1, x2):
+    """Cheirality-checked (R, t) decomposition (solve_5pts.cpp:5-110
+    semantics, operating on normalized coords). Returns (R, t, n_good) with
+    frame1→frame2 convention."""
+    U, _, Vt = np.linalg.svd(E)
+    if np.linalg.det(U) < 0:
+        U = -U
+    if np.linalg.det(Vt) < 0:
+        Vt = -Vt
+    W = np.array([[0.0, -1, 0], [1, 0, 0], [0, 0, 1]])
+    cands = []
+    for R in (U @ W @ Vt, U @ W.T @ Vt):
+        for t in (U[:, 2], -U[:, 2]):
+            X = _triangulate_pair(R, t, x1, x2)
+            z1 = X[:, 2]
+            z2 = (X @ R.T + t)[:, 2]
+            good = int(np.sum((z1 > 0) & (z2 > 0)))
+            cands.append((good, R, t))
+    good, R, t = max(cands, key=lambda c: c[0])
+    return R, t, good
+
+
+def relative_pose_ransac(x1, x2, iters=100, thresh=3e-3, seed=0):
+    """RANSAC essential + recoverPose. Returns (R, t, inlier_mask) or None.
+
+    Mirrors MotionEstimator::solveRelativeRT (solve_5pts.cpp:193-230):
+    threshold 0.3/460 ≈ 6.5e-4 in normalized units; we use a slightly looser
+    default for synthetic tracks.
+    """
+    n = len(x1)
+    if n < 15:
+        return None
+    rng = np.random.default_rng(seed)
+    best_mask, best_cnt = None, -1
+    for _ in range(iters):
+        idx = rng.choice(n, 8, replace=False)
+        try:
+            E = essential_8pt(x1[idx], x2[idx])
+        except np.linalg.LinAlgError:
+            continue
+        # Sampson error
+        x1h = np.hstack([x1, np.ones((n, 1))])
+        x2h = np.hstack([x2, np.ones((n, 1))])
+        Ex1 = x1h @ E.T
+        Etx2 = x2h @ E
+        d = np.abs(np.sum(x2h * Ex1, axis=1)) / np.sqrt(
+            Ex1[:, 0] ** 2 + Ex1[:, 1] ** 2 + Etx2[:, 0] ** 2 + Etx2[:, 1] ** 2 + 1e-18)
+        mask = d < thresh
+        if mask.sum() > best_cnt:
+            best_cnt, best_mask = int(mask.sum()), mask
+    if best_cnt < 12:
+        return None
+    E = essential_8pt(x1[best_mask], x2[best_mask])
+    R, t, good = recover_pose(E, x1[best_mask], x2[best_mask])
+    if good < 0.7 * best_cnt:
+        return None
+    return R, t, best_mask
+
+
+def pnp_gn(X_w, x_obs, R0, p0, iters=10):
+    """Gauss-Newton PnP: camera pose (R_cw, p_wc) from 3D-2D matches.
+
+    Replaces cv::solvePnP with iterative-refinement init
+    (initial_sfm.cpp:23-72). R0/p0: initial world→cam rotation + cam center.
+    """
+    R, p = R0.copy(), p0.copy()
+    for _ in range(iters):
+        Pc = (X_w - p) @ R.T
+        z = np.maximum(Pc[:, 2], 1e-6)
+        pred = Pc[:, :2] / z[:, None]
+        r = (pred - x_obs).reshape(-1)
+        # Jacobian wrt (dtheta (cam frame), dp_world)
+        n = len(X_w)
+        J = np.zeros((2 * n, 6))
+        for k in range(n):
+            x, y, iz = Pc[k, 0] / z[k], Pc[k, 1] / z[k], 1.0 / z[k]
+            d_proj = np.array([[iz, 0, -x * iz], [0, iz, -y * iz]])
+            # left perturbation: Pc = exp(θ̂)·R·(X−p) ⇒ dPc/dθ = −[Pc]×
+            d_rot = -np.cross(np.eye(3), Pc[k])
+            J[2 * k: 2 * k + 2, 0:3] = d_proj @ d_rot
+            J[2 * k: 2 * k + 2, 3:6] = d_proj @ (-R)
+        H = J.T @ J + 1e-9 * np.eye(6)
+        dx = np.linalg.solve(H, -J.T @ r)
+        dth, dp = dx[:3], dx[3:]
+        R = _quat_to_R(np.asarray(lie.exp_so3_quat(jnp.asarray(dth)))) @ R
+        p = p + dp
+    return R, p
+
+
+# ----------------------------------------------------------------------------
+# Windowed structure (SfM-lite)
+# ----------------------------------------------------------------------------
+
+
+def construct_sfm(pts, mask, nf, min_parallax=30.0 / 460.0, seed=0):
+    """Up-to-scale structure over the window.
+
+    pts/mask: [F,NF,3]/[F,NF] feature tracks (normalized plane).
+    Follows GlobalSFM::construct (initial_sfm.cpp:117-244): find frame l
+    with enough parallax & correspondences vs the newest frame
+    (estimator.cpp:433-462), fix l as origin, recover l↔newest, triangulate,
+    PnP the middle frames forward and frames [0,l) backward.
+
+    Returns None or dict with camera rotations R_cw[NF] (world=frame-l cam),
+    camera centers p_c[NF], and per-feature 3-D points + validity.
+    """
+    F = len(pts)
+    newest = nf - 1
+    # --- find reference frame l
+    rel = None
+    for l in range(nf - 1):
+        both = (mask[:, l] > 0) & (mask[:, newest] > 0)
+        if both.sum() < 20:
+            continue
+        par = np.linalg.norm(pts[both, l, :2] - pts[both, newest, :2], axis=1)
+        if np.mean(par) < min_parallax:
+            continue
+        got = relative_pose_ransac(pts[both, l, :2], pts[both, newest, :2],
+                                   seed=seed)
+        if got is not None:
+            rel = (l, both, got)
+            break
+    if rel is None:
+        return None
+    l, both_l, (R_rel, t_rel, inl) = rel
+
+    R_cw = np.tile(np.eye(3), (nf, 1, 1))   # world→cam
+    c_w = np.zeros((nf, 3))                 # camera centers in world
+    R_cw[newest] = R_rel
+    c_w[newest] = -R_rel.T @ t_rel
+
+    X = np.zeros((F, 3))
+    X_ok = np.zeros(F, bool)
+
+    def tri(f1, f2):
+        """Triangulate features seen in both f1,f2 lacking a 3D point."""
+        need = (mask[:, f1] > 0) & (mask[:, f2] > 0) & ~X_ok
+        ids = np.nonzero(need)[0]
+        if not ids.size:
+            return
+        R12 = R_cw[f2] @ R_cw[f1].T
+        t12 = R_cw[f2] @ (c_w[f1] - c_w[f2])
+        Xl = _triangulate_pair(R12, t12, pts[ids, f1, :2], pts[ids, f2, :2])
+        ok = Xl[:, 2] > 0.05
+        Xw = (Xl @ R_cw[f1]) + c_w[f1]   # cam_f1 → world
+        X[ids[ok]] = Xw[ok]
+        X_ok[ids[ok]] = True
+
+    tri(l, newest)
+    # forward pass l+1..newest-1: PnP from previous, then triangulate w/ newest
+    for f in range(l + 1, newest):
+        vis = (mask[:, f] > 0) & X_ok
+        if vis.sum() < 6:
+            return None
+        R, c = pnp_gn(X[vis], pts[vis, f, :2], R_cw[f - 1], c_w[f - 1])
+        R_cw[f], c_w[f] = R, c
+        tri(f, newest)
+    # backward pass l-1..0: PnP from next, triangulate with l
+    for f in range(l - 1, -1, -1):
+        vis = (mask[:, f] > 0) & X_ok
+        if vis.sum() < 6:
+            return None
+        R, c = pnp_gn(X[vis], pts[vis, f, :2], R_cw[f + 1], c_w[f + 1])
+        R_cw[f], c_w[f] = R, c
+        tri(f, l)
+    # triangulate anything else with ≥2 views
+    for f in range(nf - 1):
+        tri(f, newest)
+    return {"R_cw": R_cw, "c_w": c_w, "X": X, "X_ok": X_ok, "l": l}
+
+
+# ----------------------------------------------------------------------------
+# Inertial alignment
+# ----------------------------------------------------------------------------
+
+
+def solve_gyro_bias(q_bw: np.ndarray, pres: list) -> np.ndarray:
+    """LS gyro bias from SfM rotations vs preintegrated Δq
+    (initial_aligment.cpp:3-37). q_bw: body→world quats per frame [NF,4];
+    pres[i]: Preintegrated for pair (i,i+1)."""
+    A = np.zeros((3, 3))
+    b = np.zeros(3)
+    for i, pre in enumerate(pres):
+        q_ij = np.asarray(lie.quat_mul(
+            lie.quat_conj(jnp.asarray(q_bw[i])), jnp.asarray(q_bw[i + 1])))
+        J_q_bg = np.asarray(pre.J)[3:6, 12:15]
+        resid = 2.0 * np.asarray(lie.quat_mul(
+            lie.quat_conj(jnp.asarray(np.asarray(pre.dq))),
+            jnp.asarray(q_ij)))[1:4]
+        A += J_q_bg.T @ J_q_bg
+        b += J_q_bg.T @ resid
+    return np.linalg.solve(A + 1e-9 * np.eye(3), b)
+
+
+def linear_alignment(R_bw: np.ndarray, p_cw: np.ndarray, pres: list,
+                     tic: np.ndarray):
+    """Solve per-frame body velocities, gravity (world=SfM frame), and
+    metric scale (initial_aligment.cpp:125-197, incl. /100 conditioning).
+
+    R_bw: body→world rotations [NF,3,3]; p_cw: *camera* positions in the SfM
+    frame (unscaled) [NF,3]. Returns (vel_body [NF,3], g_w [3], s) or None.
+    """
+    nf = len(R_bw)
+    n_state = nf * 3 + 3 + 1
+    A = np.zeros((n_state, n_state))
+    b = np.zeros(n_state)
+    for i, pre in enumerate(pres):
+        j = i + 1
+        dt = float(np.asarray(pre.dt_sum))
+        Ri = R_bw[i]
+        Rj = R_bw[j]
+        tA = np.zeros((6, 10))
+        tb = np.zeros(6)
+        tA[0:3, 0:3] = -dt * np.eye(3)
+        tA[0:3, 6:9] = 0.5 * Ri.T * dt * dt
+        tA[0:3, 9] = Ri.T @ (p_cw[j] - p_cw[i]) / 100.0
+        tb[0:3] = np.asarray(pre.dp) + Ri.T @ Rj @ tic - tic
+        tA[3:6, 0:3] = -np.eye(3)
+        tA[3:6, 3:6] = Ri.T @ Rj
+        tA[3:6, 6:9] = Ri.T * dt
+        tb[3:6] = np.asarray(pre.dv)
+        # scatter into the global system
+        idx = np.concatenate([np.arange(3 * i, 3 * i + 6),
+                              np.arange(nf * 3, nf * 3 + 4)])
+        A[np.ix_(idx, idx)] += tA.T @ tA * 1000.0
+        b[idx] += tA.T @ tb * 1000.0
+    x = np.linalg.solve(A + 1e-10 * np.eye(n_state), b)
+    s = x[-1] / 100.0
+    g = x[nf * 3: nf * 3 + 3]
+    if s <= 0 or not (8.0 < np.linalg.norm(g) < 12.0):
+        return None
+    vel = x[: nf * 3].reshape(nf, 3)
+    g, vel, s = refine_gravity(R_bw, p_cw, pres, tic, g)
+    if s is None:
+        return None
+    return vel, g, s
+
+
+def _tangent_basis(g0):
+    a = g0 / np.linalg.norm(g0)
+    tmp = np.array([0.0, 0.0, 1.0])
+    if abs(a @ tmp) > 0.9:
+        tmp = np.array([1.0, 0.0, 0.0])
+    b = tmp - a * (a @ tmp)
+    b /= np.linalg.norm(b)
+    c = np.cross(a, b)
+    return np.stack([b, c], axis=1)  # 3x2
+
+
+def refine_gravity(R_bw, p_cw, pres, tic, g0, iters=4):
+    """Fix |g| and refine on the 2-dof tangent (initial_aligment.cpp:55-123)."""
+    nf = len(R_bw)
+    g = g0 / np.linalg.norm(g0) * GRAVITY_MAG
+    n_state = nf * 3 + 2 + 1
+    for _ in range(iters):
+        basis = _tangent_basis(g)
+        A = np.zeros((n_state, n_state))
+        b = np.zeros(n_state)
+        for i, pre in enumerate(pres):
+            j = i + 1
+            dt = float(np.asarray(pre.dt_sum))
+            Ri, Rj = R_bw[i], R_bw[j]
+            tA = np.zeros((6, 9))
+            tb = np.zeros(6)
+            tA[0:3, 0:3] = -dt * np.eye(3)
+            tA[0:3, 6:8] = 0.5 * Ri.T @ basis * dt * dt
+            tA[0:3, 8] = Ri.T @ (p_cw[j] - p_cw[i]) / 100.0
+            tb[0:3] = (np.asarray(pre.dp) + Ri.T @ Rj @ tic - tic
+                       - 0.5 * Ri.T @ g * dt * dt)
+            tA[3:6, 0:3] = -np.eye(3)
+            tA[3:6, 3:6] = Ri.T @ Rj
+            tA[3:6, 6:8] = Ri.T @ basis * dt
+            tb[3:6] = np.asarray(pre.dv) - Ri.T @ g * dt
+            idx = np.concatenate([np.arange(3 * i, 3 * i + 6),
+                                  np.arange(nf * 3, nf * 3 + 3)])
+            A[np.ix_(idx, idx)] += tA.T @ tA * 1000.0
+            b[idx] += tA.T @ tb * 1000.0
+        x = np.linalg.solve(A + 1e-10 * np.eye(n_state), b)
+        dg = basis @ x[nf * 3: nf * 3 + 2]
+        g = (g + dg) / np.linalg.norm(g + dg) * GRAVITY_MAG
+    s = x[-1] / 100.0
+    if s <= 0:
+        return g, None, None
+    return g, x[: nf * 3].reshape(nf, 3), s

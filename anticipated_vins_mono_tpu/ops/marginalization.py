@@ -175,11 +175,20 @@ def marginalize_second_newest(state: WindowState, prior: PriorFactor,
                               cfg: WindowConfig) -> PriorFactor:
     """MARGIN_SECOND_NEW: drop frame NF-2 from the *prior only* — its visual
     factors are simply discarded (non-keyframe) and its IMU measurements are
-    merged by the estimator. Mirrors estimator.cpp:905-989."""
+    merged by the estimator. Mirrors estimator.cpp:905-989.
+
+    The prior is re-linearized at the CURRENT state before the Schur drop:
+    b must be the gradient at the new linearization point (r0 + J0·dx), not
+    the stale r0 — otherwise hundreds of consecutive non-keyframe slides
+    (hover phases) accumulate the mismatch and corrupt the prior.
+    """
     d, nf = cfg.dim, cfg.nf
     dtype = prior.J0.dtype
+    from anticipated_vins_mono_tpu.ops.window import state_boxminus
+    dx = state_boxminus(state, prior.lin, cfg)
+    r_now = prior.r0 + prior.J0 @ dx
     H = prior.J0.T @ prior.J0
-    b = prior.J0.T @ prior.r0
+    b = prior.J0.T @ r_now
     fidx = nf - 2
     drop = jnp.zeros(d, dtype)
     drop = drop.at[6 * fidx: 6 * fidx + 6].set(1.0)

@@ -1,0 +1,112 @@
+"""Measurement-stream simulation: trajectory → (IMU stream, feature tracks).
+
+Stands in for the reference front end's output
+(feature_tracker publishes PointCloud channels [id,u,v,vx,vy,prob],
+/root/reference/feature_tracker/src/feature_tracker_ros.cpp:75-115): a
+persistent landmark field is projected per frame; currently-tracked ids that
+remain in view are kept (LK-tracking analog), and the set is topped up to
+`max_features` with new ids (detectFeatures analog, feature_tracker.cpp:
+118-136) — so the estimator sees realistic track lifetimes and churn.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator, NamedTuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from anticipated_vins_mono_tpu.ops import lie
+from anticipated_vins_mono_tpu.utils.synthetic import Trajectory
+
+
+class FrameMeasurement(NamedTuple):
+    t: float
+    feats: dict          # id -> (pt3 normalized, vel2, prob)
+    imu_dts: np.ndarray  # [S] dt of samples since previous frame
+    imu_acc: np.ndarray  # [S,3]
+    imu_gyr: np.ndarray  # [S,3]
+    acc0: np.ndarray     # sample at previous frame time
+    gyr0: np.ndarray
+
+
+@dataclass
+class SequenceSimulator:
+    traj: Trajectory
+    seed: int = 0
+    max_features: int = 150
+    frame_stride: int = 20          # 200 Hz IMU / 10 Hz frames
+    n_landmarks: int = 4000
+    fov_x: float = 0.55             # half-angle tangents (≈ EuRoC pinhole)
+    fov_y: float = 0.42
+    depth_range: tuple = (0.8, 40.0)
+    pixel_noise: float = 0.0        # std in pixels (÷460 internally)
+    tic: np.ndarray | None = None
+    qic: np.ndarray | None = None
+
+    def __post_init__(self):
+        rng = np.random.default_rng(self.seed)
+        t = self.traj
+        lo, hi = t.p.min(0) - 4.0, t.p.max(0) + 4.0
+        self.landmarks = rng.uniform(lo, hi, size=(self.n_landmarks, 3))
+        self.rng = rng
+        self.tracked: dict = {}
+        self.R_all = np.asarray(lie.quat_to_rot(jnp.asarray(t.q)))
+        if self.tic is None:
+            self.tic = np.zeros(3)
+        if self.qic is None:
+            self.qic = np.array([1.0, 0, 0, 0])
+        self.R_ic = np.asarray(lie.quat_to_rot(jnp.asarray(self.qic)))
+        self._prev_pts: dict = {}
+
+    def _visible(self, k: int):
+        """Landmark ids visible from frame-index k (into the IMU-rate traj)."""
+        R, p = self.R_all[k], self.traj.p[k]
+        P_c = np.einsum("ij,nj->ni", self.R_ic.T,
+                        np.einsum("ij,nj->ni", R.T, self.landmarks - p) - self.tic)
+        z = P_c[:, 2]
+        ok = (z > self.depth_range[0]) & (z < self.depth_range[1])
+        zs = np.where(np.abs(z) < 1e-6, 1e-6, z)
+        x, y = P_c[:, 0] / zs, P_c[:, 1] / zs
+        ok &= (np.abs(x) < self.fov_x) & (np.abs(y) < self.fov_y)
+        return ok, np.stack([x, y, np.ones_like(x)], -1)
+
+    def frames(self, n_frames: int | None = None) -> Iterator[FrameMeasurement]:
+        t = self.traj
+        stride = self.frame_stride
+        total = (len(t.t) - 1) // stride
+        if n_frames is not None:
+            total = min(total, n_frames)
+        dt_frame = None
+        for f in range(total):
+            k = f * stride
+            ok, pts = self._visible(k)
+            vis_ids = set(np.nonzero(ok)[0].tolist())
+
+            kept = {i for i in self.tracked if i in vis_ids}
+            budget = self.max_features - len(kept)
+            if budget > 0:
+                fresh = list(vis_ids - kept)
+                self.rng.shuffle(fresh)
+                kept |= set(fresh[:budget])
+            self.tracked = {i: self.tracked.get(i, 0) + 1 for i in kept}
+
+            feats = {}
+            dt_f = stride / 200.0
+            for i in kept:
+                pt = pts[i].copy()
+                if self.pixel_noise > 0:
+                    pt[:2] += self.rng.normal(size=2) * self.pixel_noise / 460.0
+                prev = self._prev_pts.get(i)
+                vel = (pt[:2] - prev[:2]) / dt_f if prev is not None else np.zeros(2)
+                feats[int(i)] = (pt, vel, 1.0)
+            self._prev_pts = {i: pts[i].copy() for i in kept}
+
+            s = max(k - stride, 0)
+            yield FrameMeasurement(
+                t=float(t.t[k]), feats=feats,
+                imu_dts=np.diff(t.t[s:k + 1]) if k > 0 else np.zeros(0),
+                imu_acc=t.acc_body[s + 1:k + 1] if k > 0 else np.zeros((0, 3)),
+                imu_gyr=t.gyr_body[s + 1:k + 1] if k > 0 else np.zeros((0, 3)),
+                acc0=t.acc_body[s], gyr0=t.gyr_body[s])

@@ -1,0 +1,62 @@
+"""Benchmark: sliding-window BA iterations/s per chip vs single-core Ceres.
+
+Baseline (BASELINE.md): the reference's windowed optimization takes 30 ms
+for a ≤8-iteration DOGLEG+DENSE_SCHUR solve on EuRoC MH_05 (thread 2,
+Ceres num_threads unset, EIGEN_DONT_PARALLELIZE) → 8/0.030 ≈ 266.7 LM
+iterations/s on one CPU core.
+
+This bench times the SAME workload shape — 10-keyframe window, 128 landmark
+slots, IMU+projection factors, Schur landmark elimination, 8 LM iterations
+per solve — as one jitted program on one TPU chip (f32), and reports
+aggregate iterations/s with a scenario batch (the TPU-native scaling axis).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import jax.tree_util as jtu
+
+CERES_BASELINE_ITERS_PER_S = 8 / 0.030
+
+
+def main():
+    from anticipated_vins_mono_tpu.ops.window import WindowConfig, lm_solve
+    from anticipated_vins_mono_tpu.utils.synthetic import make_window_problem
+
+    cfg = WindowConfig(window=10, max_feats=128, iters=8)
+    prob = make_window_problem(cfg, seed=0, perturb=0.3, pixel_noise=0.5,
+                               dtype=jnp.float32)
+
+    B = 16  # scenario batch per chip
+    batch = lambda x: jnp.broadcast_to(x[None], (B,) + x.shape).copy()
+    state = jtu.tree_map(batch, prob.init)
+    meas = jtu.tree_map(batch, prob.meas)
+
+    solve = jax.jit(jax.vmap(lambda s, m: lm_solve(s, m, cfg)))
+    out = solve(state, meas)         # compile
+    jax.block_until_ready(out[0].p)
+
+    # timed region: repeated batched solves (cached executable)
+    reps = 10
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = solve(state, meas)
+    jax.block_until_ready(out[0].p)
+    dt = (time.perf_counter() - t0) / reps
+
+    iters_per_s = B * cfg.iters / dt
+    print(json.dumps({
+        "metric": "sliding-window BA LM iterations/s per chip "
+                  "(10-kf window, 128 landmarks, batch 16, f32)",
+        "value": round(iters_per_s, 1),
+        "unit": "iters/s",
+        "vs_baseline": round(iters_per_s / CERES_BASELINE_ITERS_PER_S, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
