@@ -1,0 +1,315 @@
+"""Front end (L2): feature tracking on images — batched JAX kernels.
+
+Capability parity with the fork's own tracker re-implementation
+(/root/reference/feature_tracker/src/feature_tracker.cpp +
+cvmodified.cpp):
+
+- histogram equalization (CLAHE stand-in)            (feature_tracker.cpp:36-40)
+- pyramidal Lucas-Kanade optical flow                (:54-86, cv::calcOpticalFlowPyrLK)
+- fundamental/essential RANSAC outlier rejection     (rejectWithF, :263-296)
+- min-distance mask favoring long-lived features     (enforceMinDist, :191-259)
+- Shi-Tomasi (GFTT) corner detection that RETURNS THE QUALITY SCORE — the
+  score becomes the tracking probability p_ℓ         (cvmodified.cpp:43+,
+  createMeasurements score/maxscore normalization, :300-343)
+- measurement packaging {id: (normalized pt, velocity, prob)}
+
+TPU-first: the image pipeline is conv/reduce-window ops (VPU/MXU); LK is a
+vmap over features with a fixed-iteration inner loop; detection is NMS via
+`lax.reduce_window` + top-k. All static shapes; masks handle variable
+feature counts.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from anticipated_vins_mono_tpu.ops import cameras
+
+
+# ----------------------------------------------------------------------------
+# Image ops
+# ----------------------------------------------------------------------------
+
+
+def equalize(img: jax.Array, bins: int = 64) -> jax.Array:
+    """Global histogram equalization (stand-in for the reference's CLAHE
+    clipLimit=3.0, 8x8 tiles; feature_tracker.cpp:36-40)."""
+    flat = img.reshape(-1)
+    hist = jnp.histogram(flat, bins=bins, range=(0.0, 1.0))[0]
+    cdf = jnp.cumsum(hist) / flat.size
+    idx = jnp.clip((img * bins).astype(jnp.int32), 0, bins - 1)
+    return cdf[idx]
+
+
+def _blur3(img: jax.Array) -> jax.Array:
+    """Separable [1 2 1]/4 blur."""
+    k = jnp.array([0.25, 0.5, 0.25], img.dtype)
+
+    def conv1(x, axis):
+        pad = [(0, 0), (0, 0)]
+        pad[axis] = (1, 1)
+        xp = jnp.pad(x, pad, mode="edge")
+        out = 0.0
+        for o, kv in zip((0, 1, 2), k):
+            s = [slice(None), slice(None)]
+            s[axis] = slice(o, o + x.shape[axis])
+            out = out + kv * xp[tuple(s)]
+        return out
+
+    return conv1(conv1(img, 0), 1)
+
+
+def build_pyramid(img: jax.Array, levels: int = 3) -> list:
+    """Gaussian pyramid, factor-2 downsampling."""
+    pyr = [img]
+    for _ in range(levels - 1):
+        img = _blur3(img)[::2, ::2]
+        pyr.append(img)
+    return pyr
+
+
+def _gradients(img: jax.Array):
+    """Central-difference gradients (edge-padded)."""
+    xp = jnp.pad(img, ((0, 0), (1, 1)), mode="edge")
+    Ix = 0.5 * (xp[:, 2:] - xp[:, :-2])
+    yp = jnp.pad(img, ((1, 1), (0, 0)), mode="edge")
+    Iy = 0.5 * (yp[2:, :] - yp[:-2, :])
+    return Ix, Iy
+
+
+def gftt_response(img: jax.Array, window: int = 3) -> jax.Array:
+    """Shi-Tomasi min-eigenvalue corner response.
+
+    Mirrors cvmodified::goodFeaturesToTrack's cornerMinEigenVal core — the
+    per-pixel score that the fork surfaces as the tracking probability
+    (cvmodified.cpp:43+)."""
+    Ix, Iy = _gradients(img)
+    a, b, c = Ix * Ix, Ix * Iy, Iy * Iy
+    for _ in range(window // 2 + 1):
+        a, b, c = _blur3(a), _blur3(b), _blur3(c)
+    tr = 0.5 * (a + c)
+    det = jnp.sqrt(jnp.maximum(((a - c) * 0.5) ** 2 + b * b, 0.0))
+    return jnp.maximum(tr - det, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("max_n", "min_dist"))
+def detect_features(img: jax.Array, occupied_mask: jax.Array,
+                    max_n: int, min_dist: int = 16,
+                    quality_level: float = 0.01):
+    """Top-`max_n` corners with non-max suppression + occupancy mask.
+
+    Returns (uv [max_n,2] float pixels, score [max_n], valid [max_n]).
+    occupied_mask: 1 where features already exist (their min-dist region) —
+    the same role as the reference's mask image (enforceMinDist :191-259,
+    detectFeatures :161-176).
+    """
+    resp = gftt_response(img)
+    resp = resp * (1.0 - occupied_mask)
+    # NMS: keep pixels that are the max in their (min_dist x min_dist) window
+    wmax = jax.lax.reduce_window(
+        resp, -jnp.inf, jax.lax.max,
+        (min_dist, min_dist), (1, 1), "SAME")
+    is_peak = (resp >= wmax) & (resp > quality_level * jnp.max(resp))
+    flat = jnp.where(is_peak, resp, 0.0).reshape(-1)
+    score, idx = jax.lax.top_k(flat, max_n)
+    H, W = img.shape
+    uv = jnp.stack([(idx % W).astype(img.dtype),
+                    (idx // W).astype(img.dtype)], axis=-1)
+    valid = score > 0.0
+    return uv, score, valid
+
+
+def _bilinear(img: jax.Array, uv: jax.Array):
+    """Bilinear sample img at float pixel coords uv [...,2] (x,y)."""
+    H, W = img.shape
+    x = jnp.clip(uv[..., 0], 0.0, W - 1.001)
+    y = jnp.clip(uv[..., 1], 0.0, H - 1.001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = x - x0
+    fy = y - y0
+    v00 = img[y0, x0]
+    v01 = img[y0, x0 + 1]
+    v10 = img[y0 + 1, x0]
+    v11 = img[y0 + 1, x0 + 1]
+    return (v00 * (1 - fx) * (1 - fy) + v01 * fx * (1 - fy)
+            + v10 * (1 - fx) * fy + v11 * fx * fy)
+
+
+@functools.partial(jax.jit, static_argnames=("half", "iters", "levels"))
+def lk_track(prev_pyr: tuple, cur_pyr: tuple, pts: jax.Array,
+             valid: jax.Array, half: int = 7, iters: int = 10,
+             levels: int = 3):
+    """Pyramidal Lucas-Kanade: track `pts` [N,2] from prev to cur.
+
+    Mirrors cv::calcOpticalFlowPyrLK usage (feature_tracker.cpp:54-60,
+    winsize 15x15 ⇒ half=7, 3 levels). Returns (new_pts [N,2], ok [N]).
+    """
+    N = pts.shape[0]
+    dtype = pts.dtype
+    offs = jnp.stack(jnp.meshgrid(
+        jnp.arange(-half, half + 1, dtype=dtype),
+        jnp.arange(-half, half + 1, dtype=dtype), indexing="xy"),
+        axis=-1).reshape(-1, 2)                       # [P,2]
+
+    def track_level(flow, level):
+        scale = 2.0 ** level
+        prev_img = prev_pyr[level]
+        cur_img = cur_pyr[level]
+        p_lvl = pts / scale
+
+        def one_point(p0, fl):
+            grid = p0[None, :] + offs                 # [P,2]
+            T = _bilinear(prev_img, grid)
+            gx = 0.5 * (_bilinear(prev_img, grid + jnp.array([1.0, 0], dtype))
+                        - _bilinear(prev_img, grid - jnp.array([1.0, 0], dtype)))
+            gy = 0.5 * (_bilinear(prev_img, grid + jnp.array([0.0, 1], dtype))
+                        - _bilinear(prev_img, grid - jnp.array([0.0, 1], dtype)))
+            G = jnp.stack([gx, gy], -1)               # [P,2]
+            H2 = G.T @ G + 1e-6 * jnp.eye(2, dtype=dtype)
+
+            def it(fl, _):
+                I = _bilinear(cur_img, grid + fl[None, :])
+                err = I - T
+                b = G.T @ err
+                d = jnp.linalg.solve(H2, -b)
+                return fl + d, None
+
+            fl, _ = jax.lax.scan(it, fl, None, length=iters)
+            return fl
+
+        return jax.vmap(one_point)(p_lvl, flow)
+
+    flow = jnp.zeros((N, 2), dtype)
+    for level in range(levels - 1, -1, -1):
+        flow = track_level(flow, level) * (1.0 if level == 0 else 1.0)
+        if level > 0:
+            flow = flow * 2.0  # upsample flow to the next finer level
+    new_pts = pts + flow
+
+    # validity: in-border (BORDER=1 px like :68-73 BORDER_SIZE) + residual check
+    H, W = cur_pyr[0].shape
+    inb = (new_pts[:, 0] > 2) & (new_pts[:, 0] < W - 3) & \
+        (new_pts[:, 1] > 2) & (new_pts[:, 1] < H - 3)
+    patch_prev = jax.vmap(lambda p: _bilinear(prev_pyr[0], p[None, :] + offs))(pts)
+    patch_cur = jax.vmap(lambda p: _bilinear(cur_pyr[0], p[None, :] + offs))(new_pts)
+    resid = jnp.mean(jnp.abs(patch_cur - patch_prev), axis=-1)
+    ok = inb & (resid < 0.25) & (valid > 0)
+    return new_pts, ok
+
+
+# ----------------------------------------------------------------------------
+# Tracker orchestration (anticipation::FeatureTracker parity)
+# ----------------------------------------------------------------------------
+
+
+class TrackerParams(NamedTuple):
+    max_features: int = 150       # Parameters struct (feature_tracker.h:31-41)
+    min_dist: int = 16
+    ransac_thresh: float = 1.0    # px (F_THRESHOLD)
+    equalize: bool = True
+    levels: int = 3
+
+
+class FeatureTracker:
+    """Host wrapper: persistent ids/lifetimes over jitted image kernels.
+
+    process(img, t) → {id: (normalized pt3, velocity2, prob)} — the same
+    measurement dict the ROS node publishes as PointCloud channels
+    [id,u,v,vx,vy,prob] (feature_tracker_ros.cpp:75-115).
+    """
+
+    def __init__(self, cam: cameras.PinholeCamera,
+                 params: TrackerParams = TrackerParams()):
+        self.cam = cam
+        self.p = params
+        self.prev_pyr = None
+        self.prev_pts = np.zeros((0, 2))
+        self.ids = np.zeros(0, np.int64)
+        self.life = np.zeros(0, np.int64)
+        self.scores = np.zeros(0)
+        self.next_id = 0
+        self.prev_t = None
+        self.prev_norm = {}
+
+    def process(self, img: np.ndarray, t: float) -> dict:
+        p = self.p
+        img = jnp.asarray(img, jnp.float32)
+        if p.equalize:
+            img = equalize(img)
+        pyr = tuple(build_pyramid(img, p.levels))
+
+        N = p.max_features
+        if self.prev_pyr is not None and len(self.prev_pts):
+            pts = np.zeros((N, 2), np.float32)
+            val = np.zeros(N, np.float32)
+            n = len(self.prev_pts)
+            pts[:n] = self.prev_pts
+            val[:n] = 1.0
+            new_pts, ok = lk_track(self.prev_pyr, pyr, jnp.asarray(pts),
+                                   jnp.asarray(val), levels=p.levels)
+            new_pts = np.asarray(new_pts)[:n]
+            ok = np.asarray(ok)[:n]
+            # RANSAC on normalized coords (rejectWithF, :263-296)
+            if ok.sum() >= 15:
+                from anticipated_vins_mono_tpu.models.initialization import (
+                    relative_pose_ransac)
+                n1 = np.asarray(cameras.lift_projective(
+                    self.cam, jnp.asarray(self.prev_pts[ok])))[:, :2]
+                n2 = np.asarray(cameras.lift_projective(
+                    self.cam, jnp.asarray(new_pts[ok])))[:, :2]
+                got = relative_pose_ransac(
+                    n1, n2, thresh=p.ransac_thresh / float(self.cam.fx))
+                if got is not None:
+                    sub = np.zeros(int(ok.sum()), bool)
+                    sub[got[2]] = True
+                    full = np.zeros(len(ok), bool)
+                    full[np.nonzero(ok)[0]] = sub
+                    ok = full
+            self.prev_pts = new_pts[ok]
+            self.ids = self.ids[ok]
+            self.life = self.life[ok] + 1
+            self.scores = self.scores[ok]
+        # top-up detection in unoccupied regions
+        budget = p.max_features - len(self.prev_pts)
+        if budget > 0:
+            occ = np.zeros(pyr[0].shape, np.float32)
+            r = p.min_dist // 2
+            Himg, Wimg = occ.shape
+            for (x, y) in self.prev_pts:
+                x0, y0 = int(x), int(y)
+                occ[max(0, y0 - r):y0 + r, max(0, x0 - r):x0 + r] = 1.0
+            uv, score, valid = detect_features(
+                pyr[0], jnp.asarray(occ), p.max_features, p.min_dist)
+            uv, score, valid = (np.asarray(uv), np.asarray(score),
+                                np.asarray(valid))
+            take = np.nonzero(valid)[0][:budget]
+            self.prev_pts = np.concatenate([self.prev_pts, uv[take]], 0)
+            self.ids = np.concatenate(
+                [self.ids, self.next_id + np.arange(len(take))])
+            self.life = np.concatenate([self.life, np.ones(len(take), np.int64)])
+            self.scores = np.concatenate([self.scores, score[take]])
+            self.next_id += len(take)
+
+        self.prev_pyr = pyr
+        # measurements: undistort → normalized plane + velocity + prob
+        out = {}
+        if len(self.prev_pts):
+            rays = np.asarray(cameras.lift_projective(
+                self.cam, jnp.asarray(self.prev_pts)))
+            smax = max(self.scores.max(), 1e-9)
+            dt = (t - self.prev_t) if self.prev_t is not None else None
+            for k, fid in enumerate(self.ids):
+                vel = np.zeros(2)
+                if dt and fid in self.prev_norm:
+                    vel = (rays[k, :2] - self.prev_norm[fid]) / dt
+                out[int(fid)] = (rays[k], vel, float(self.scores[k] / smax))
+            self.prev_norm = {int(f): rays[k, :2].copy()
+                              for k, f in enumerate(self.ids)}
+        self.prev_t = t
+        return out

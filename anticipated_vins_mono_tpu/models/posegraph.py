@@ -1,0 +1,337 @@
+"""Pose graph (L5): loop closure + 4-DoF global optimization.
+
+Capability parity with the reference pose_graph package
+(/root/reference/pose_graph/src/pose_graph.{h,cpp}, keyframe.{h,cpp}):
+
+- keyframe database with descriptors            (PoseGraph::addKeyFrame, :42+)
+- place recognition: the reference queries a DBoW2 BRIEF vocabulary tree
+  with a 50-frame exclusion window and dual-threshold acceptance
+  (detectLoop, pose_graph.cpp:304-385). TPU-native replacement: binary
+  global descriptors compared by batched Hamming/cosine similarity — ONE
+  matmul/XOR-popcount over the whole database instead of an inverted
+  index (hundreds–thousands of keyframes is a trivially small matrix).
+- BRIEF descriptors + Hamming matching for geometric verification
+  (BriefExtractor / searchByBRIEFDes, keyframe.cpp:87+, 259-430)
+- 4-DoF pose-graph optimization: yaw + translation with roll/pitch fixed
+  from VIO, sequential edges to up to 4 predecessors + loop edges with
+  Huber loss (optimize4DoF, pose_graph.cpp:403-560; cost functors
+  FourDOFError/FourDOFWeightError pose_graph.h:159-240) — here one jitted
+  masked Gauss-Newton over static-size edge arrays.
+- drift output (r_drift/t_drift) applied to subsequent VIO poses
+  (pose_graph.cpp:561-575).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from anticipated_vins_mono_tpu.ops import lie
+
+
+# ----------------------------------------------------------------------------
+# BRIEF descriptors (DVision::BRIEF parity) — batched bit comparisons
+# ----------------------------------------------------------------------------
+
+BRIEF_BITS = 256
+PATCH_HALF = 12
+
+
+@functools.lru_cache(maxsize=1)
+def _brief_pattern(bits: int = BRIEF_BITS, half: int = PATCH_HALF):
+    rng = np.random.default_rng(12345)
+    a = rng.normal(scale=half / 2.5, size=(bits, 2)).clip(-half, half)
+    b = rng.normal(scale=half / 2.5, size=(bits, 2)).clip(-half, half)
+    return jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32)
+
+
+@jax.jit
+def brief_descriptors(img: jax.Array, pts: jax.Array) -> jax.Array:
+    """BRIEF-256 at pixel points [N,2] → bool [N,256].
+
+    Parity with the vendored DVision BRIEF used on FAST corners
+    (keyframe.cpp:87+); smoothing via the pyramid blur."""
+    from anticipated_vins_mono_tpu.models.frontend import _bilinear, _blur3
+    sm = _blur3(_blur3(img))
+    pa, pb = _brief_pattern()
+
+    def one(p):
+        va = _bilinear(sm, p[None, :] + pa)
+        vb = _bilinear(sm, p[None, :] + pb)
+        return va < vb
+
+    return jax.vmap(one)(pts)
+
+
+@jax.jit
+def hamming_match(desc1: jax.Array, desc2: jax.Array):
+    """All-pairs Hamming distance [N1,N2] between bool [*,256] descriptor
+    sets — one broadcast XOR-sum (the searchInAera/searchByBRIEFDes loops of
+    keyframe.cpp:200-258 collapse into a single batched op)."""
+    return jnp.sum(desc1[:, None, :] ^ desc2[None, :, :], axis=-1)
+
+
+def global_descriptor(descs: jax.Array, valid: jax.Array) -> jax.Array:
+    """Keyframe-level binary signature: per-bit majority over the frame's
+    feature descriptors → float vector (the BoW-vector stand-in)."""
+    cnt = jnp.sum(descs & valid[:, None].astype(bool), axis=0)
+    tot = jnp.maximum(jnp.sum(valid), 1.0)
+    v = cnt / tot
+    return v / jnp.maximum(jnp.linalg.norm(v), 1e-9)
+
+
+# ----------------------------------------------------------------------------
+# 4-DoF pose graph optimization
+# ----------------------------------------------------------------------------
+
+
+class PGOConfig(NamedTuple):
+    max_kf: int = 256         # static keyframe capacity
+    max_loops: int = 64       # static loop-edge capacity
+    seq_links: int = 4        # sequential edges to up-to-4 predecessors (:466)
+    iters: int = 5            # solver iterations (pose_graph.cpp:437)
+    huber: float = 0.1        # loss on loop edges (:441 uses HuberLoss(0.1))
+    yaw_weight: float = 1.0   # relative yaw residual scale (0.1 in functor *10)
+
+
+def _yaw_rot(yaw, pitch, roll):
+    return lie.ypr_to_rot(jnp.stack([yaw, pitch, roll], axis=-1))
+
+
+def _edge_residual(p_i, yaw_i, pr_i, p_j, yaw_j, t_meas, yaw_meas):
+    """FourDOFError (pose_graph.h:159-200): relative translation expressed in
+    frame i (yaw optimized, pitch/roll fixed) + relative yaw."""
+    R_i = _yaw_rot(yaw_i, pr_i[0], pr_i[1])
+    r_t = jnp.einsum("ji,j->i", R_i, p_j - p_i) - t_meas
+    dy = yaw_j - yaw_i - yaw_meas
+    dy = jnp.mod(dy + 180.0, 360.0) - 180.0   # wrap (NormalizeAngle, pose_graph.h:140)
+    r_y = dy * jnp.pi / 180.0
+    return jnp.concatenate([r_t, r_y[None]])
+
+
+def _huber_w(sqn, delta):
+    n = jnp.sqrt(jnp.maximum(sqn, 1e-18))
+    return jnp.sqrt(jnp.where(n <= delta, 1.0, delta / n))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def pgo_solve(pos: jax.Array, yaw: jax.Array, pitch_roll: jax.Array,
+              kf_valid: jax.Array,
+              seq_i: jax.Array, seq_j: jax.Array, seq_t: jax.Array,
+              seq_yaw: jax.Array, seq_valid: jax.Array,
+              loop_i: jax.Array, loop_j: jax.Array, loop_t: jax.Array,
+              loop_yaw: jax.Array, loop_valid: jax.Array,
+              cfg: PGOConfig):
+    """Masked Gauss-Newton over (x,y,z,yaw) per keyframe.
+
+    The earliest valid keyframe is gauge-fixed (the reference sets the
+    first/earliest-loop keyframe constant, pose_graph.cpp:455-460).
+    Returns (pos, yaw) optimized.
+    """
+    K = cfg.max_kf
+    dtype = pos.dtype
+    n_var = 4 * K
+    first = jnp.argmax(kf_valid)          # earliest valid keyframe index
+
+    def one_iter(_, carry):
+        pos, yaw = carry
+
+        def seq_single(p2, y2, k):
+            i, j = seq_i[k], seq_j[k]
+            return _edge_residual(p2[i], y2[i], pitch_roll[i],
+                                  p2[j], y2[j], seq_t[k], seq_yaw[k]) * seq_valid[k]
+
+        def loop_single(p2, y2, k):
+            i, j = loop_i[k], loop_j[k]
+            r = _edge_residual(p2[i], y2[i], pitch_roll[i],
+                               p2[j], y2[j], loop_t[k], loop_yaw[k])
+            w = _huber_w(jnp.sum(jax.lax.stop_gradient(r) ** 2), cfg.huber)
+            return r * w * loop_valid[k]
+
+        H = jnp.zeros((n_var, n_var), dtype)
+        g = jnp.zeros(n_var, dtype)
+
+        def accumulate(single, idx_i, idx_j, n_edges, H, g):
+            def edge_blocks(k):
+                def f(dpi, dyi, dpj, dyj):
+                    p2 = pos.at[idx_i[k]].add(dpi).at[idx_j[k]].add(dpj)
+                    y2 = yaw.at[idx_i[k]].add(dyi).at[idx_j[k]].add(dyj)
+                    return single(p2, y2, k)
+                z3 = jnp.zeros(3, dtype)
+                z = jnp.zeros((), dtype)
+                r = f(z3, z, z3, z)
+                Jpi, Jyi, Jpj, Jyj = jax.jacfwd(f, (0, 1, 2, 3))(z3, z, z3, z)
+                Ji = jnp.concatenate([Jpi, Jyi[:, None]], axis=1)   # [4,4]
+                Jj = jnp.concatenate([Jpj, Jyj[:, None]], axis=1)
+                return r, Ji, Jj
+
+            r, Ji, Jj = jax.vmap(edge_blocks)(jnp.arange(idx_i.shape[0]))
+            onehot_i = jax.nn.one_hot(idx_i, K, dtype=dtype)   # [E,K]
+            onehot_j = jax.nn.one_hot(idx_j, K, dtype=dtype)
+            # rows [E,4,n_var] via einsum embedding
+            rows = (jnp.einsum("ek,erc->erkc", onehot_i, Ji)
+                    + jnp.einsum("ek,erc->erkc", onehot_j, Jj)
+                    ).reshape(idx_i.shape[0], 4, n_var)
+            H = H + jnp.einsum("erc,erd->cd", rows, rows)
+            g = g + jnp.einsum("erc,er->c", rows, r)
+            return H, g
+
+        H, g = accumulate(seq_single, seq_i, seq_j, seq_i.shape[0], H, g)
+        H, g = accumulate(loop_single, loop_i, loop_j, loop_i.shape[0], H, g)
+
+        # gauge: pin the earliest valid keyframe; freeze invalid slots
+        freeze = 1.0 - kf_valid                              # [K]
+        freeze = freeze.at[first].set(1.0)
+        fmask = jnp.repeat(freeze, 4)
+        H = H * (1 - fmask[:, None]) * (1 - fmask[None, :]) + jnp.diag(fmask)
+        g = g * (1 - fmask)
+        H = H + 1e-6 * jnp.diag(jnp.maximum(jnp.diagonal(H), 1.0))
+
+        L = jnp.linalg.cholesky(H)
+        dx = -jax.scipy.linalg.cho_solve((L, True), g)
+        dx = dx.reshape(K, 4)
+        # dx[:,3] is already in the yaw variable's unit (degrees): the
+        # residual's internal deg→rad factor is part of the Jacobian
+        return pos + dx[:, :3], yaw + dx[:, 3]
+
+    pos, yaw = jax.lax.fori_loop(0, cfg.iters, one_iter, (pos, yaw))
+    return pos, yaw
+
+
+# ----------------------------------------------------------------------------
+# Host-side pose graph (keyframe DB + loop detection + drift)
+# ----------------------------------------------------------------------------
+
+
+class PoseGraph:
+    """Keyframe DB, similarity-based loop detection, 4-DoF optimization,
+    drift correction — the pose_graph node's process/optimize4DoF loops
+    (pose_graph_node.cpp:294-452, pose_graph.cpp:403-560) without ROS."""
+
+    def __init__(self, cfg: PGOConfig = PGOConfig(),
+                 sim_thresh: float = 0.9, exclude_recent: int = 50,
+                 min_gap: int = 3):
+        self.cfg = cfg
+        self.sim_thresh = sim_thresh
+        self.exclude_recent = exclude_recent
+        self.min_gap = min_gap
+        K, L = cfg.max_kf, cfg.max_loops
+        self.n = 0
+        self.pos = np.zeros((K, 3))
+        self.yaw = np.zeros(K)
+        self.pitch_roll = np.zeros((K, 2))
+        self.gdesc = np.zeros((K, BRIEF_BITS))
+        self.seq_i = np.zeros(K * cfg.seq_links, np.int32)
+        self.seq_j = np.zeros(K * cfg.seq_links, np.int32)
+        self.seq_t = np.zeros((K * cfg.seq_links, 3))
+        self.seq_yaw = np.zeros(K * cfg.seq_links)
+        self.seq_valid = np.zeros(K * cfg.seq_links)
+        self.n_seq = 0
+        self.loop_i = np.zeros(L, np.int32)
+        self.loop_j = np.zeros(L, np.int32)
+        self.loop_t = np.zeros((L, 3))
+        self.loop_yaw = np.zeros(L)
+        self.loop_valid = np.zeros(L)
+        self.n_loops = 0
+        self.t_drift = np.zeros(3)
+        self.yaw_drift = 0.0
+        self._last_opt_loops = 0
+
+    # ------------------------------------------------------------------
+
+    def add_keyframe(self, p, q, gdesc: Optional[np.ndarray] = None,
+                     loop_hint: Optional[tuple] = None) -> Optional[int]:
+        """Insert a keyframe (VIO pose). Returns detected loop index or None.
+
+        `loop_hint` (idx, rel_t, rel_yaw) injects a verified loop edge (the
+        geometric-verification stage needs images; callers with imagery use
+        brief_descriptors + hamming_match + PnP for that part)."""
+        cfg = self.cfg
+        if self.n >= cfg.max_kf:
+            return None
+        k = self.n
+        ypr = np.asarray(lie.rot_to_ypr(lie.quat_to_rot(jnp.asarray(q))))
+        self.pos[k] = p
+        self.yaw[k] = ypr[0]
+        self.pitch_roll[k] = ypr[1:3]
+        if gdesc is not None:
+            self.gdesc[k] = gdesc
+        self.n += 1
+
+        # sequential edges to up to seq_links predecessors (:461-490)
+        for back in range(1, cfg.seq_links + 1):
+            i = k - back
+            if i < 0:
+                break
+            e = self.n_seq
+            R_i = np.asarray(_yaw_rot(jnp.asarray(self.yaw[i]),
+                                      jnp.asarray(self.pitch_roll[i, 0]),
+                                      jnp.asarray(self.pitch_roll[i, 1])))
+            self.seq_i[e] = i
+            self.seq_j[e] = k
+            self.seq_t[e] = R_i.T @ (self.pos[k] - self.pos[i])
+            self.seq_yaw[e] = self.yaw[k] - self.yaw[i]
+            self.seq_valid[e] = 1.0
+            self.n_seq += 1
+
+        loop = None
+        if loop_hint is not None:
+            idx, rel_t, rel_yaw = loop_hint
+            loop = int(idx)
+        elif gdesc is not None and k > self.exclude_recent:
+            sims = self.gdesc[: k - self.exclude_recent] @ gdesc
+            if len(sims) and sims.max() > self.sim_thresh:
+                loop = int(np.argmax(sims))
+                rel_t = None
+        if loop is not None and self.n_loops < cfg.max_loops:
+            e = self.n_loops
+            if loop_hint is None:
+                # fall back to current relative estimate (callers with
+                # imagery compute this by BRIEF matching + PnP RANSAC)
+                R_i = np.asarray(_yaw_rot(jnp.asarray(self.yaw[loop]),
+                                          jnp.asarray(self.pitch_roll[loop, 0]),
+                                          jnp.asarray(self.pitch_roll[loop, 1])))
+                rel_t = R_i.T @ (self.pos[k] - self.pos[loop])
+                rel_yaw = self.yaw[k] - self.yaw[loop]
+            self.loop_i[e] = loop
+            self.loop_j[e] = k
+            self.loop_t[e] = rel_t
+            self.loop_yaw[e] = rel_yaw
+            self.loop_valid[e] = 1.0
+            self.n_loops += 1
+        return loop
+
+    def optimize(self):
+        """Run 4-DoF PGO if there are (new) loop edges; update drift."""
+        if self.n_loops == 0 or self.n_loops == self._last_opt_loops:
+            return
+        cfg = self.cfg
+        old_last = self.pos[self.n - 1].copy()
+        old_yaw = self.yaw[self.n - 1]
+        kf_valid = np.zeros(cfg.max_kf)
+        kf_valid[: self.n] = 1.0
+        pos, yaw = pgo_solve(
+            jnp.asarray(self.pos), jnp.asarray(self.yaw),
+            jnp.asarray(self.pitch_roll), jnp.asarray(kf_valid),
+            jnp.asarray(self.seq_i), jnp.asarray(self.seq_j),
+            jnp.asarray(self.seq_t), jnp.asarray(self.seq_yaw),
+            jnp.asarray(self.seq_valid),
+            jnp.asarray(self.loop_i), jnp.asarray(self.loop_j),
+            jnp.asarray(self.loop_t), jnp.asarray(self.loop_yaw),
+            jnp.asarray(self.loop_valid), cfg)
+        self.pos = np.array(pos)
+        self.yaw = np.array(yaw)
+        # drift of the newest keyframe (pose_graph.cpp:561-575)
+        self.yaw_drift = self.yaw[self.n - 1] - old_yaw
+        Rz = np.asarray(lie.ypr_to_rot(jnp.asarray([self.yaw_drift, 0.0, 0.0])))
+        self.t_drift = self.pos[self.n - 1] - Rz @ old_last
+        self._last_opt_loops = self.n_loops
+
+    def correct(self, p, yaw_deg):
+        """Apply the current drift to a VIO pose (w_T_vio chaining)."""
+        Rz = np.asarray(lie.ypr_to_rot(jnp.asarray([self.yaw_drift, 0.0, 0.0])))
+        return Rz @ np.asarray(p) + self.t_drift, yaw_deg + self.yaw_drift

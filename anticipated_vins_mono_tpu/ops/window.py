@@ -179,8 +179,10 @@ def retract(x: WindowState, dx: jax.Array, d_rho: jax.Array,
 def _proj_factor_rows(state: WindowState, meas: WindowMeasurements,
                       cfg: WindowConfig, feat: jax.Array, frame: jax.Array):
     """One projection factor (landmark `feat`, target frame `frame`):
-    whitened residual [2], dense row-block [2, D], landmark column [2],
-    robust×validity weight []. vmapped over the full F×NF grid."""
+    residual [2], tangent Jacobian blocks (anchor/frame/extrinsic/td),
+    landmark column [2], robust×validity weight []. vmapped over the F×NF
+    grid; placement into dense rows happens in `linearize` via one-hot
+    einsums (static layout → MXU-friendly, no per-factor scatter)."""
     d = cfg.dim
     a = meas.anchor[feat]
     pt_i = meas.pts[feat, a]
@@ -216,22 +218,16 @@ def _proj_factor_rows(state: WindowState, meas: WindowMeasurements,
     valid = (meas.mask[feat, a] * meas.mask[feat, frame]
              * meas.feat_valid[feat] * (frame != a))
     w = factors.cauchy_weight(jnp.sum(res * res), cfg.cauchy_scale) * valid
-
-    z = jnp.zeros((), jnp.int32)
-    row = jnp.zeros((2, d), res.dtype)
-    row = jax.lax.dynamic_update_slice(row, J_a, (z, 6 * a))
-    # a == frame is masked out; overlapping write is then harmless
-    row = jax.lax.dynamic_update_slice(row, J_j, (z, 6 * frame))
-    if cfg.estimate_extrinsic:
-        row = jax.lax.dynamic_update_slice(row, J_e, (z, z + 15 * cfg.nf))
-    row = row.at[:, 15 * cfg.nf + 6].set(J_td)
-    return res, row, J_rho, w
+    if not cfg.estimate_extrinsic:
+        J_e = jnp.zeros_like(J_e)
+    return res, (J_a, J_j, J_e, J_td), J_rho, w
 
 
 def _imu_factor_rows(state: WindowState, meas: WindowMeasurements,
                      cfg: WindowConfig, i: jax.Array):
     """One IMU factor between frames i and i+1: whitened residual [15],
-    dense row-block [15, D], validity weight []. vmapped over W pairs."""
+    tangent Jacobian blocks, validity weight []. vmapped over W pairs;
+    dense placement happens in `linearize` via one-hot einsums."""
     d = cfg.dim
     pre_i = jax.tree_util.tree_map(lambda x: x[i], meas.pre)
     sb_i = jnp.concatenate([state.v[i], state.ba[i], state.bg[i]])
@@ -246,14 +242,7 @@ def _imu_factor_rows(state: WindowState, meas: WindowMeasurements,
 
     res, (J_pi, J_pj, J_si, J_sj) = factors.tangent_jacobian(
         res_fn, (pose_i, pose_j), (sb_i, sb_j))
-
-    z = jnp.zeros((), jnp.int32)
-    row = jnp.zeros((15, d), res.dtype)
-    row = jax.lax.dynamic_update_slice(row, J_pi, (z, 6 * i))
-    row = jax.lax.dynamic_update_slice(row, J_pj, (z, 6 * (i + 1)))
-    row = jax.lax.dynamic_update_slice(row, J_si, (z, 6 * cfg.nf + 9 * i))
-    row = jax.lax.dynamic_update_slice(row, J_sj, (z, 6 * cfg.nf + 9 * (i + 1)))
-    return res, row, meas.pre_valid[i]
+    return res, (J_pi, J_pj, J_si, J_sj), meas.pre_valid[i]
 
 
 def _anchor_rows(state: WindowState, anchor_ref, cfg: WindowConfig,
@@ -280,22 +269,47 @@ def linearize(state: WindowState, meas: WindowMeasurements, cfg: WindowConfig,
     Returns (r_all [N], J_all [N,D], rho_vals [F,NF,2], rho_w [F,NF]):
     the landmark columns stay factored out for the Schur step.
     """
-    f_grid = jnp.arange(cfg.max_feats, dtype=jnp.int32)
-    j_grid = jnp.arange(cfg.nf, dtype=jnp.int32)
+    F, NF, W, D = cfg.max_feats, cfg.nf, cfg.window, cfg.dim
+    dtype = state.p.dtype
+    f_grid = jnp.arange(F, dtype=jnp.int32)
+    j_grid = jnp.arange(NF, dtype=jnp.int32)
 
     proj_fn = jax.vmap(jax.vmap(
         lambda l, j: _proj_factor_rows(state, meas, cfg, l, j),
         in_axes=(None, 0)), in_axes=(0, None))
-    p_res, p_rows, p_rho, p_w = proj_fn(f_grid, j_grid)
+    p_res, (J_a, J_j, J_e, J_td), p_rho, p_w = proj_fn(f_grid, j_grid)
     # weight applied to both residual and Jacobian (Triggs sqrt(ρ') scaling)
     p_res = p_res * p_w[..., None]
-    p_rows = p_rows * p_w[..., None, None]
+    wj = p_w[..., None, None]
+    J_a, J_j, J_e = J_a * wj, J_j * wj, J_e * wj
+    J_td = J_td * p_w[..., None]
     p_rho = p_rho * p_w[..., None]
 
+    # dense row assembly WITHOUT scatter: anchor blocks via one-hot of the
+    # (dynamic) anchor index; frame blocks land at their own (static) grid
+    # column; extrinsic/td columns are a static concat. All einsums → MXU.
+    onehot_a = jax.nn.one_hot(meas.anchor, NF, dtype=dtype)       # [F,NF]
+    pose_a = jnp.einsum("fn,fjrc->fjrnc", onehot_a, J_a)
+    pose_j = jnp.einsum("jn,fjrc->fjrnc", jnp.eye(NF, dtype=dtype), J_j)
+    pose_cols = (pose_a + pose_j).reshape(F, NF, 2, 6 * NF)
+    sb_cols = jnp.zeros((F, NF, 2, 9 * NF), dtype)
+    p_rows = jnp.concatenate(
+        [pose_cols, sb_cols, J_e, J_td[..., None]], axis=-1)       # [F,NF,2,D]
+
     imu_fn = jax.vmap(lambda i: _imu_factor_rows(state, meas, cfg, i))
-    i_res, i_rows, i_w = imu_fn(jnp.arange(cfg.window, dtype=jnp.int32))
+    i_res, (J_pi, J_pj, J_si, J_sj), i_w = imu_fn(
+        jnp.arange(W, dtype=jnp.int32))
     i_res = i_res * i_w[..., None]
-    i_rows = i_rows * i_w[..., None, None]
+    wi = i_w[..., None, None]
+    J_pi, J_pj, J_si, J_sj = J_pi * wi, J_pj * wi, J_si * wi, J_sj * wi
+    eye_nf = jnp.eye(NF, dtype=dtype)
+    ipose = jnp.einsum("wn,wrc->wrnc", eye_nf[:W], J_pi) + \
+        jnp.einsum("wn,wrc->wrnc", eye_nf[1:W + 1], J_pj)
+    isb = jnp.einsum("wn,wrc->wrnc", eye_nf[:W], J_si) + \
+        jnp.einsum("wn,wrc->wrnc", eye_nf[1:W + 1], J_sj)
+    i_rows = jnp.concatenate(
+        [ipose.reshape(W, 15, 6 * NF), isb.reshape(W, 15, 9 * NF),
+         jnp.zeros((W, 15, 7), dtype)], axis=-1)                   # [W,15,D]
 
     # marginalization prior rows
     dx_lin = state_boxminus(state, meas.prior.lin, cfg)
