@@ -179,14 +179,15 @@ class VioEstimator:
         self.bg[k] = self.bg[k - 1]
 
         feats = fm.feats
-        if self.selector is not None and self.initialized and len(fm.imu_acc):
+        if self.selector is not None and len(fm.imu_acc):
             state_k1 = {
                 "p": self.p[k], "q": self.q[k], "v": self.v[k],
                 "ba": self.ba[k], "bg": self.bg[k],
                 "acc": np.asarray(fm.imu_acc[-1], float),
                 "gyr": np.asarray(fm.imu_gyr[-1], float),
             }
-            feats = self.selector.select(feats, state_k1, self.db)
+            feats = self.selector.select(feats, state_k1, self.db,
+                                         initialized=self.initialized)
         keyframe = self.db.add_frame(k, feats)
         self.frame_times.append(fm.t)
         self.n_frames += 1

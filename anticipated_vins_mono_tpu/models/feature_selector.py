@@ -72,17 +72,29 @@ class AttentionSelector:
     def __init__(self, cfg: ant.SelectorConfig, max_candidates: int = 128,
                  tic: Optional[np.ndarray] = None,
                  qic: Optional[np.ndarray] = None,
-                 frame_dt: float = 0.1, imu_rate: float = 200.0):
+                 frame_dt: float = 0.1, imu_rate: float = 200.0,
+                 policy: str = "anticipate", seed: int = 0):
+        # policy: "anticipate" (attention algorithm) | "quality" (top-κ by
+        # tracking score — the reference report's plain-VINS-capped baseline)
+        # | "random" (random κ) — the three variants of results.tex:41-50
+        assert policy in ("anticipate", "quality", "random"), policy
+        self.policy = policy
+        self.rng = np.random.default_rng(seed)
         self.cfg = cfg
         self.max_candidates = max_candidates
         self.last_feature_id = -1
         self.first_image = True
+        # ids ever passed to the backend (trackedFeatures_,
+        # feature_selector.cpp:103-110,195-197): previously-seen ids NOT in
+        # this set were rejected before and stay dropped
+        self.tracked_ids: set = set()
         self.tic = np.zeros(3) if tic is None else np.asarray(tic, float)
         self.qic = np.array([1.0, 0, 0, 0]) if qic is None else np.asarray(qic, float)
         self.n_imu = int(round(frame_dt * imu_rate))
         self.dt_imu = 1.0 / imu_rate
 
-    def select(self, feats: dict, state_k1: dict, db=None) -> dict:
+    def select(self, feats: dict, state_k1: dict, db=None,
+               initialized: bool = True) -> dict:
         """feats: {id: (pt3, vel2, prob)} → pruned dict (tracked ∪ selected).
 
         state_k1: {"p","q","v","ba","bg","acc","gyr"} — the IMU-propagated
@@ -90,19 +102,48 @@ class AttentionSelector:
         feature_selector.h:64-68).
         """
         cfg = self.cfg
-        tracked = {i: f for i, f in feats.items() if i <= self.last_feature_id}
+        # subset = previously-selected ids found again (:111-120); other old
+        # ids were rejected earlier and remain dropped
+        tracked = {i: f for i, f in feats.items() if i in self.tracked_ids}
         new = {i: f for i, f in feats.items() if i > self.last_feature_id}
-        if feats:
-            self.last_feature_id = max(feats.keys())
+        if new:
+            self.last_feature_id = max(new.keys())
 
-        # pass-through regimes (feature_selector.cpp:172-187)
-        if self.first_image or len(tracked) < cfg.init_threshold:
+        # pass-through regimes (feature_selector.cpp:151-187): the first
+        # image seeds trackedFeatures_; before backend initialization no
+        # selection runs — below initThresh the whole image passes through
+        # WITHOUT registering (exactly :177-180)
+        if not initialized:
+            if self.first_image:
+                self.first_image = False
+                self.tracked_ids.update(feats.keys())
+                return feats
+            if len(tracked) < cfg.init_threshold:
+                out = dict(feats)
+                out.update(tracked)
+                return out
+            return tracked
+
+        if self.first_image:
             self.first_image = False
+            self.tracked_ids.update(feats.keys())
             return feats
 
         kappa = cfg.max_features - len(tracked)
         if kappa <= 0 or not new:
             return tracked
+
+        if self.policy != "anticipate":
+            ids = list(new.keys())
+            if self.policy == "quality":
+                ids.sort(key=lambda i: -new[i][2])   # top-κ by score
+            else:
+                self.rng.shuffle(ids)
+            out = dict(tracked)
+            for i in ids[:kappa]:
+                out[i] = new[i]
+                self.tracked_ids.add(i)
+            return out
 
         F = self.max_candidates
         ids = list(new.keys())[:F]
@@ -158,4 +199,5 @@ class AttentionSelector:
         for k, i in enumerate(ids):
             if sel[k] > 0.5:
                 out[i] = new[i]
+                self.tracked_ids.add(i)
         return out

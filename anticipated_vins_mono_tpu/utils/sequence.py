@@ -52,6 +52,11 @@ class SequenceSimulator:
         self.landmarks = rng.uniform(lo, hi, size=(self.n_landmarks, 3))
         self.rng = rng
         self.tracked: dict = {}
+        # landmark-idx → feature id; ids are MONOTONICALLY increasing like
+        # the reference tracker's n_id++ (a re-entering landmark gets a
+        # fresh id — the selector's id watermark depends on this contract)
+        self._id_of: dict = {}
+        self._next_id = 0
         self.R_all = np.asarray(lie.quat_to_rot(jnp.asarray(t.q)))
         if self.tic is None:
             self.tic = np.zeros(3)
@@ -89,7 +94,11 @@ class SequenceSimulator:
             if budget > 0:
                 fresh = list(vis_ids - kept)
                 self.rng.shuffle(fresh)
-                kept |= set(fresh[:budget])
+                newly = fresh[:budget]
+                for i in newly:
+                    self._id_of[i] = self._next_id
+                    self._next_id += 1
+                kept |= set(newly)
             self.tracked = {i: self.tracked.get(i, 0) + 1 for i in kept}
 
             feats = {}
@@ -100,7 +109,7 @@ class SequenceSimulator:
                     pt[:2] += self.rng.normal(size=2) * self.pixel_noise / 460.0
                 prev = self._prev_pts.get(i)
                 vel = (pt[:2] - prev[:2]) / dt_f if prev is not None else np.zeros(2)
-                feats[int(i)] = (pt, vel, 1.0)
+                feats[self._id_of[i]] = (pt, vel, 1.0)
             self._prev_pts = {i: pts[i].copy() for i in kept}
 
             s = max(k - stride, 0)
