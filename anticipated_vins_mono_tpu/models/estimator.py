@@ -117,6 +117,8 @@ class VioEstimator:
         self.trajectory: list = []  # (t, p, q, v) of the newest frame
         self.diag = EstimatorDiagnostics()
         self.initialized = False
+        self.pending_relo = None   # (p, q, {feature_id: pt3 in relo frame})
+        self.relo_result = None    # (relative_t, relative_q) after the solve
 
     # ------------------------------------------------------------------
     # IMU-rate propagation (midpoint, matching estimator_node predict(),
@@ -237,6 +239,25 @@ class VioEstimator:
         yaw0_before = float(np.asarray(lie.rot_to_ypr(
             lie.quat_to_rot(jnp.asarray(self.q[0]))))[0])
 
+        relo_active = False
+        if self.pending_relo is not None:
+            rp, rq, matches = self.pending_relo
+            relo_pts = np.zeros((cfg.max_feats, 3))
+            relo_valid = np.zeros(cfg.max_feats)
+            for fid, pt in matches.items():
+                slot = self.db._find(fid)
+                if slot >= 0 and self.db.solved[slot] > 0:
+                    relo_pts[slot] = pt
+                    relo_valid[slot] = 1.0
+            if relo_valid.sum() >= 6:
+                relo_active = True
+                state = state._replace(
+                    relo_p=jnp.asarray(rp, self.dtype),
+                    relo_q=jnp.asarray(rq, self.dtype))
+                meas = meas._replace(
+                    relo_pts=jnp.asarray(relo_pts, self.dtype),
+                    relo_valid=jnp.asarray(relo_valid, self.dtype))
+
         new_state, sdiag = lm_solve(state, meas, cfg)
         self.diag.solves += 1
         self.diag.costs.append(float(sdiag["cost"]))
@@ -246,6 +267,20 @@ class VioEstimator:
             self.diag.failures += 1
             self.reset()
             return
+
+        if relo_active:
+            # relative transform: optimized relo pose → newest window frame
+            # (relo_relative_t/q, estimator.cpp:1117-1127)
+            r_p = np.array(new_state.relo_p)
+            r_q = np.array(new_state.relo_q)
+            R_r = np.asarray(lie.quat_to_rot(jnp.asarray(r_q)))
+            nf1 = cfg.nf - 1
+            rel_t = R_r.T @ (np.array(new_state.p[nf1]) - r_p)
+            rel_q = np.asarray(lie.quat_mul(
+                lie.quat_conj(jnp.asarray(r_q)), new_state.q[nf1]))
+            self.relo_result = (rel_t, rel_q)
+            self.pending_relo = None
+            new_state = new_state._replace(relo_p=None, relo_q=None)
 
         self._adopt(new_state)
         # NOTE: unlike the reference's double2vector yaw re-anchoring
@@ -280,6 +315,19 @@ class VioEstimator:
             self.frame_times.pop(cfg.nf - 2)
         self.n_frames = cfg.nf - 1
         self._record_output(fm.t, cfg.nf - 2)
+
+    # ------------------------------------------------------------------
+    # relocalization input (setReloFrame parity, estimator.cpp:1095-1129)
+    # ------------------------------------------------------------------
+
+    def set_relo_frame(self, relo_p, relo_q, matches: dict):
+        """Attach a relocalization frame: its (drift-free, loop-corrected)
+        pose and {feature_id: normalized pt3 observed in that frame}. The
+        next window solve jointly optimizes the relo pose via projection
+        factors (estimator.cpp:760-792) and leaves the relative transform
+        in `self.relo_result` for the pose-graph consumer."""
+        self.pending_relo = (np.asarray(relo_p, float),
+                             np.asarray(relo_q, float), dict(matches))
 
     # ------------------------------------------------------------------
     # visual-inertial initialization (initialStructure + visualInitialAlign,

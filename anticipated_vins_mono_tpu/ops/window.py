@@ -66,7 +66,9 @@ class WindowConfig(NamedTuple):
 
     @property
     def dim(self) -> int:
-        return 15 * self.nf + 6 + 1
+        # + 6 trailing dims for the relocalization pose tangent (used only
+        # when a relo frame is attached; zero columns otherwise)
+        return 15 * self.nf + 6 + 1 + 6
 
 
 class WindowState(NamedTuple):
@@ -83,6 +85,8 @@ class WindowState(NamedTuple):
     qic: jax.Array        # [4]
     td: jax.Array         # []
     inv_depth: jax.Array  # [F]
+    relo_p: jax.Array = None   # [3] relocalization-frame pose (optional)
+    relo_q: jax.Array = None   # [4]
 
     @staticmethod
     def identity(cfg: WindowConfig, dtype=jnp.float64) -> "WindowState":
@@ -127,6 +131,10 @@ class WindowMeasurements(NamedTuple):
     anchor: jax.Array     # [F] int32 first observing frame
     feat_valid: jax.Array # [F] 1/0 slot in use
     prior: PriorFactor
+    # relocalization block (setReloFrame parity, estimator.cpp:1095-1129;
+    # factors added to the BA at :760-792). None = no relo frame attached.
+    relo_pts: jax.Array = None    # [F,3] matched obs in the relo frame
+    relo_valid: jax.Array = None  # [F] 1/0 match per landmark slot
 
 
 # ----------------------------------------------------------------------------
@@ -150,7 +158,8 @@ def state_boxminus(x: WindowState, lin: WindowState, cfg: WindowConfig) -> jax.A
     dext_th = 2.0 * qrel[1:4] * jnp.where(qrel[0] >= 0, 1.0, -1.0)
     return jnp.concatenate([
         pose.reshape(-1), sb.reshape(-1), dext_p, dext_th,
-        (x.td - lin.td)[None]])
+        (x.td - lin.td)[None],
+        jnp.zeros(6, x.p.dtype)])  # relo block: never in the prior
 
 
 def retract(x: WindowState, dx: jax.Array, d_rho: jax.Array,
@@ -165,10 +174,14 @@ def retract(x: WindowState, dx: jax.Array, d_rho: jax.Array,
     tic, qic = lie.pose_boxplus(x.tic, x.qic, ext_dx)
     inv_depth = x.inv_depth + d_rho
     inv_depth = jnp.maximum(inv_depth, cfg.min_inv_depth)
+    relo_p, relo_q = x.relo_p, x.relo_q
+    if relo_p is not None:
+        relo_dx = dx[15 * nf + 7: 15 * nf + 13]
+        relo_p, relo_q = lie.pose_boxplus(relo_p, relo_q, relo_dx)
     return WindowState(
         p=p, q=q, v=x.v + sb_dx[:, 0:3], ba=x.ba + sb_dx[:, 3:6],
         bg=x.bg + sb_dx[:, 6:9], tic=tic, qic=qic, td=x.td + td_dx,
-        inv_depth=inv_depth)
+        inv_depth=inv_depth, relo_p=relo_p, relo_q=relo_q)
 
 
 # ----------------------------------------------------------------------------
@@ -245,6 +258,34 @@ def _imu_factor_rows(state: WindowState, meas: WindowMeasurements,
     return res, (J_pi, J_pj, J_si, J_sj), meas.pre_valid[i]
 
 
+def _relo_factor_rows(state: WindowState, meas: WindowMeasurements,
+                      cfg: WindowConfig, feat: jax.Array):
+    """Relocalization projection factor for one landmark: residual of the
+    landmark (anchored in the window) reprojected into the relo pose against
+    its matched observation. Mirrors the relo factors the reference adds to
+    the BA (estimator.cpp:760-792, ProjectionFactor on relo_Pose)."""
+    a = meas.anchor[feat]
+    pt_i = meas.pts[feat, a]
+    pt_r = meas.relo_pts[feat]
+    invd = state.inv_depth[feat]
+
+    pose_a = factors.PoseTangent(state.p[a], state.q[a])
+    pose_r = factors.PoseTangent(state.relo_p, state.relo_q)
+    pose_e = factors.PoseTangent(state.tic, state.qic)
+
+    def res_fn(pa, pr, pe, rho):
+        return factors.projection_residual(
+            pa.p, pa.q, pr.p, pr.q, pe.p, pe.q, rho, pt_i, pt_r)
+
+    res, (J_a, J_r, J_e, J_rho) = factors.tangent_jacobian(
+        res_fn, (pose_a, pose_r, pose_e), (invd,))
+    valid = meas.mask[feat, a] * meas.feat_valid[feat] * meas.relo_valid[feat]
+    w = factors.cauchy_weight(jnp.sum(res * res), cfg.cauchy_scale) * valid
+    if not cfg.estimate_extrinsic:
+        J_e = jnp.zeros_like(J_e)
+    return res, (J_a, J_r, J_e), J_rho, w
+
+
 def _anchor_rows(state: WindowState, anchor_ref, cfg: WindowConfig,
                  has_prior: jax.Array):
     """Gauge anchor: soft prior pinning pose 0 to its value at solve entry,
@@ -294,7 +335,25 @@ def linearize(state: WindowState, meas: WindowMeasurements, cfg: WindowConfig,
     pose_cols = (pose_a + pose_j).reshape(F, NF, 2, 6 * NF)
     sb_cols = jnp.zeros((F, NF, 2, 9 * NF), dtype)
     p_rows = jnp.concatenate(
-        [pose_cols, sb_cols, J_e, J_td[..., None]], axis=-1)       # [F,NF,2,D]
+        [pose_cols, sb_cols, J_e, J_td[..., None],
+         jnp.zeros((F, NF, 2, 6), dtype)], axis=-1)                # [F,NF,2,D]
+
+    if meas.relo_pts is not None:
+        # relo factors enter as one extra pseudo-frame column of the
+        # projection grid so the Schur elimination sees their landmark terms
+        rr, (rJ_a, rJ_r, rJ_e), r_rho, r_w = jax.vmap(
+            lambda l: _relo_factor_rows(state, meas, cfg, l))(f_grid)
+        rr = rr * r_w[..., None]
+        rw2 = r_w[..., None, None]
+        rJ_a, rJ_r, rJ_e = rJ_a * rw2, rJ_r * rw2, rJ_e * rw2
+        r_rho = r_rho * r_w[..., None]
+        rpose = jnp.einsum("fn,frc->frnc", onehot_a, rJ_a).reshape(F, 2, 6 * NF)
+        r_rows = jnp.concatenate(
+            [rpose, jnp.zeros((F, 2, 9 * NF), dtype), rJ_e,
+             jnp.zeros((F, 2, 1), dtype), rJ_r], axis=-1)          # [F,2,D]
+        p_res = jnp.concatenate([p_res, rr[:, None]], axis=1)
+        p_rows = jnp.concatenate([p_rows, r_rows[:, None]], axis=1)
+        p_rho = jnp.concatenate([p_rho, r_rho[:, None]], axis=1)
 
     imu_fn = jax.vmap(lambda i: _imu_factor_rows(state, meas, cfg, i))
     i_res, (J_pi, J_pj, J_si, J_sj), i_w = imu_fn(
@@ -309,7 +368,7 @@ def linearize(state: WindowState, meas: WindowMeasurements, cfg: WindowConfig,
         jnp.einsum("wn,wrc->wrnc", eye_nf[1:W + 1], J_sj)
     i_rows = jnp.concatenate(
         [ipose.reshape(W, 15, 6 * NF), isb.reshape(W, 15, 9 * NF),
-         jnp.zeros((W, 15, 7), dtype)], axis=-1)                   # [W,15,D]
+         jnp.zeros((W, 15, 13), dtype)], axis=-1)                  # [W,15,D]
 
     # marginalization prior rows
     dx_lin = state_boxminus(state, meas.prior.lin, cfg)
@@ -359,6 +418,21 @@ def robust_cost(state: WindowState, meas: WindowMeasurements,
 
     ic = jax.vmap(imu_cost)(jnp.arange(cfg.window, dtype=jnp.int32)).sum()
 
+    rc = 0.0
+    if meas.relo_pts is not None:
+        def relo_cost(l):
+            a = meas.anchor[l]
+            res = factors.projection_residual(
+                state.p[a], state.q[a], state.relo_p, state.relo_q,
+                state.tic, state.qic, state.inv_depth[l],
+                meas.pts[l, a], meas.relo_pts[l])
+            valid = (meas.mask[l, a] * meas.feat_valid[l]
+                     * meas.relo_valid[l])
+            s2 = jnp.sum(res * res)
+            c2 = cfg.cauchy_scale ** 2
+            return 0.5 * c2 * jnp.log1p(s2 / c2) * valid
+        rc = jax.vmap(relo_cost)(f_grid).sum()
+
     dx_lin = state_boxminus(state, meas.prior.lin, cfg)
     pr = (meas.prior.r0 + meas.prior.J0 @ dx_lin) * meas.prior.weight
     prc = 0.5 * jnp.sum(pr * pr)
@@ -366,7 +440,7 @@ def robust_cost(state: WindowState, meas: WindowMeasurements,
     if anchor_ref is None:
         anchor_ref = (state.p[0], state.q[0])
     a_res, _ = _anchor_rows(state, anchor_ref, cfg, meas.prior.weight)
-    return pc + ic + prc + 0.5 * jnp.sum(a_res * a_res)
+    return pc + ic + rc + prc + 0.5 * jnp.sum(a_res * a_res)
 
 # ----------------------------------------------------------------------------
 # Normal equations + Schur complement + LM loop
