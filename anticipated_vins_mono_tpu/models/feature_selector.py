@@ -36,11 +36,16 @@ def _device_select(cfg: ant.SelectorConfig, kappa: int, n_imu: int,
                    tic, qic,
                    cand_pts, cand_probs, cand_valid,
                    used_pts, used_depths, used_valid,
-                   lm_uv, lm_depth, lm_mask):
+                   lm_uv, lm_depth, lm_mask,
+                   gt_p=None, gt_q=None):
     """The full anticipation pipeline as one device program."""
-    # 1. horizon (imu mode)
-    ps, qs, vs = ant.imu_horizon(p_k1, q_k1, v_k1, acc, gyr, ba, bg,
-                                 cfg.horizon, n_imu, dt_imu)
+    # 1. horizon: imu mode, or ground-truth relative composition when GT
+    # poses are supplied (use_ground_truth_hgen, horizon_generator.cpp:73-123)
+    if gt_p is not None:
+        ps, qs = ant.gt_horizon(p_k1, q_k1, gt_p, gt_q)
+    else:
+        ps, qs, vs = ant.imu_horizon(p_k1, q_k1, v_k1, acc, gyr, ba, bg,
+                                     cfg.horizon, n_imu, dt_imu)
     # camera poses over the horizon
     p_wc = ps + lie.quat_rotate(qs, jnp.broadcast_to(tic, ps.shape))
     q_wc = lie.quat_mul(qs, jnp.broadcast_to(qic, qs.shape))
@@ -73,7 +78,11 @@ class AttentionSelector:
                  tic: Optional[np.ndarray] = None,
                  qic: Optional[np.ndarray] = None,
                  frame_dt: float = 0.1, imu_rate: float = 200.0,
-                 policy: str = "anticipate", seed: int = 0):
+                 policy: str = "anticipate", seed: int = 0,
+                 gt_provider=None):
+        # gt_provider(t) -> (gt_p [H+1,3], gt_q [H+1,4]) at the horizon frame
+        # times — enables the reference's groundTruth horizon mode (planner/
+        # MPC emulation, use_ground_truth_hgen)
         # policy: "anticipate" (attention algorithm) | "quality" (top-κ by
         # tracking score — the reference report's plain-VINS-capped baseline)
         # | "random" (random κ) — the three variants of results.tex:41-50
@@ -92,6 +101,8 @@ class AttentionSelector:
         self.qic = np.array([1.0, 0, 0, 0]) if qic is None else np.asarray(qic, float)
         self.n_imu = int(round(frame_dt * imu_rate))
         self.dt_imu = 1.0 / imu_rate
+        self.gt_provider = gt_provider
+        self.frame_dt = frame_dt
 
     def select(self, feats: dict, state_k1: dict, db=None,
                initialized: bool = True) -> dict:
@@ -180,6 +191,12 @@ class AttentionSelector:
                 if s >= 0 and db.solved[s] > 0:
                     used_depths[k] = 1.0 / max(db.inv_depth[s], 1e-3)
 
+        gt_args = ()
+        if self.gt_provider is not None and "t" in state_k1:
+            pair = self.gt_provider(state_k1["t"])
+            if pair is not None:
+                gt_args = (jnp.asarray(pair[0]), jnp.asarray(pair[1]))
+
         sel, OmF, ps, qs = _device_select(
             cfg, int(kappa), self.n_imu, self.dt_imu,
             jnp.asarray(state_k1["p"]), jnp.asarray(state_k1["q"]),
@@ -192,7 +209,8 @@ class AttentionSelector:
             jnp.asarray(cand_valid),
             jnp.asarray(used_pts), jnp.asarray(used_depths),
             jnp.asarray(used_valid),
-            jnp.asarray(lm_uv), jnp.asarray(lm_depth), jnp.asarray(lm_mask))
+            jnp.asarray(lm_uv), jnp.asarray(lm_depth), jnp.asarray(lm_mask),
+            *gt_args)
         sel = np.asarray(sel)
 
         out = dict(tracked)

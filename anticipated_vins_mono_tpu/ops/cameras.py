@@ -214,6 +214,71 @@ def mei_lift_projective(cam: MeiCamera, uv: jax.Array) -> jax.Array:
     return ray / z
 
 
+class ScaramuzzaCamera(NamedTuple):
+    """Scaramuzza polynomial omnidirectional model.
+
+    Reference: camera_model/src/camera_models/ScaramuzzaCamera.cc — cam2world
+    polynomial `poly` over the image radius, world2cam inverse polynomial
+    `inv_poly` over the incidence angle, plus the affine (c,d,e) + center.
+    Polynomials are fixed-degree arrays (SCARAMUZZA_POLY_SIZE=5,
+    SCARAMUZZA_INV_POLY_SIZE=12 in the reference; configurable here).
+    """
+
+    poly: jax.Array       # [Np] a0..a_{Np-1}, cam2world: z = Σ a_k ρ^k
+    inv_poly: jax.Array   # [Ni] world2cam: ρ(θ) = Σ b_k θ^k
+    c: jax.Array
+    d: jax.Array
+    e: jax.Array
+    cx: jax.Array
+    cy: jax.Array
+    width: int = 752
+    height: int = 480
+
+    @staticmethod
+    def create(poly, inv_poly, c=1.0, d=0.0, e=0.0, cx=376.0, cy=240.0,
+               width=752, height=480, dtype=jnp.float32) -> "ScaramuzzaCamera":
+        a = lambda v: jnp.asarray(v, dtype=dtype)
+        return ScaramuzzaCamera(a(poly), a(inv_poly), a(c), a(d), a(e),
+                                a(cx), a(cy), width, height)
+
+
+def _polyval(coeffs: jax.Array, x: jax.Array) -> jax.Array:
+    """Σ coeffs[k]·x^k (ascending order), Horner."""
+    out = jnp.zeros_like(x)
+    for k in range(coeffs.shape[0] - 1, -1, -1):
+        out = out * x + coeffs[k]
+    return out
+
+
+def scaramuzza_space_to_plane(cam: ScaramuzzaCamera, P: jax.Array) -> jax.Array:
+    """Reference: ScaramuzzaCamera::spaceToPlane — angle of incidence from
+    the optical axis → image radius via the inverse polynomial → affine."""
+    norm_xy = jnp.linalg.norm(P[..., :2], axis=-1)
+    # theta measured from the xy-plane toward -z (Scaramuzza convention)
+    theta = jnp.arctan2(-P[..., 2], jnp.maximum(norm_xy, 1e-12))
+    rho = _polyval(cam.inv_poly, theta)
+    inv_n = 1.0 / jnp.maximum(norm_xy, 1e-12)
+    xn = P[..., 0] * inv_n * rho
+    yn = P[..., 1] * inv_n * rho
+    u = xn * cam.c + yn * cam.d + cam.cx
+    v = xn * cam.e + yn + cam.cy
+    return jnp.stack([u, v], axis=-1)
+
+
+def scaramuzza_lift_projective(cam: ScaramuzzaCamera,
+                               uv: jax.Array) -> jax.Array:
+    """Reference: ScaramuzzaCamera::liftProjective — invert the affine, read
+    z from the forward polynomial at the image radius."""
+    inv_det = 1.0 / (cam.c - cam.d * cam.e)
+    xp = inv_det * ((uv[..., 0] - cam.cx) - cam.d * (uv[..., 1] - cam.cy))
+    yp = inv_det * (-cam.e * (uv[..., 0] - cam.cx) + cam.c * (uv[..., 1] - cam.cy))
+    rho = jnp.sqrt(xp * xp + yp * yp)
+    zp = _polyval(cam.poly, rho)
+    ray = jnp.stack([xp, yp, -zp], axis=-1)   # -z: mirror convention
+    z = jnp.where(jnp.abs(ray[..., 2:3]) < 1e-9, 1e-9, ray[..., 2:3])
+    return ray / z
+
+
 def space_to_plane(cam, P: jax.Array) -> jax.Array:
     """Polymorphic dispatch on the (static) camera type.
 
@@ -227,6 +292,8 @@ def space_to_plane(cam, P: jax.Array) -> jax.Array:
         return equidistant_space_to_plane(cam, P)
     if isinstance(cam, MeiCamera):
         return mei_space_to_plane(cam, P)
+    if isinstance(cam, ScaramuzzaCamera):
+        return scaramuzza_space_to_plane(cam, P)
     raise TypeError(f"unknown camera type {type(cam)}")
 
 
@@ -238,6 +305,8 @@ def lift_projective(cam, uv: jax.Array) -> jax.Array:
         return equidistant_lift_projective(cam, uv)
     if isinstance(cam, MeiCamera):
         return mei_lift_projective(cam, uv)
+    if isinstance(cam, ScaramuzzaCamera):
+        return scaramuzza_lift_projective(cam, uv)
     raise TypeError(f"unknown camera type {type(cam)}")
 
 

@@ -1,0 +1,72 @@
+"""Multi-host initialization + mesh construction over pod slices.
+
+The reference's only "distributed backend" is single-host ROS pub/sub
+(SURVEY.md §2.6); this framework scales across hosts the TPU-native way:
+`jax.distributed.initialize` + a global device mesh whose collectives ride
+ICI within a slice and DCN across hosts. Scenario batches shard over the
+`dp` axis (host-local where possible), feature shards over `fp` (intra-chip
+group, psum over ICI).
+
+On a single host this degrades to the local mesh used everywhere else.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def initialize_multihost(coordinator: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> bool:
+    """Initialize jax.distributed from args or the standard env vars
+    (COORDINATOR_ADDRESS / NUM_PROCESSES / PROCESS_ID). Returns True when a
+    multi-process runtime was started, False for single-process runs."""
+    coordinator = coordinator or os.environ.get("COORDINATOR_ADDRESS")
+    if num_processes is None:
+        num_processes = int(os.environ.get("NUM_PROCESSES", "1"))
+    if num_processes <= 1 or not coordinator:
+        return False
+    if process_id is None:
+        process_id = int(os.environ.get("PROCESS_ID", "0"))
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return True
+
+
+def global_mesh(fp: int = 1, dp: Optional[int] = None) -> Mesh:
+    """Build the (dp, fp) mesh over ALL devices (across hosts).
+
+    `fp` groups should stay within a host/ICI domain: devices are laid out
+    host-major by jax.devices(), so taking fp contiguous devices keeps the
+    psum traffic on ICI; dp spans hosts over DCN (pure batch parallelism —
+    no per-step collectives).
+    """
+    devs = jax.devices()
+    n = len(devs)
+    assert n % fp == 0, (n, fp)
+    dp = dp or n // fp
+    assert dp * fp <= n
+    arr = np.asarray(devs[: dp * fp]).reshape(dp, fp)
+    return Mesh(arr, ("dp", "fp"))
+
+
+def scaling_report(solver, state, meas, reps: int = 5) -> dict:
+    """Measure aggregate window-solves/s on the current mesh — the
+    iterations/s scaling-efficiency probe of BASELINE.json."""
+    import time
+    out = solver(state, meas)
+    jax.block_until_ready(out[0].p)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = solver(state, meas)
+    jax.block_until_ready(out[0].p)
+    dt = (time.perf_counter() - t0) / reps
+    B = state.p.shape[0]
+    return {"batch": B, "seconds_per_step": dt, "solves_per_s": B / dt,
+            "devices": jax.device_count(), "hosts": jax.process_count()}

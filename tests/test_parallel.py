@@ -49,3 +49,12 @@ def test_sharded_dp_only():
     assert np.all(np.asarray(diag["cost"]) < np.asarray(diag["cost0"]))
     # scenario 0 and 2 are the same problem
     np.testing.assert_allclose(out_st.p[0], out_st.p[2], atol=1e-12)
+
+
+def test_global_mesh_layout():
+    from anticipated_vins_mono_tpu.parallel.distributed import global_mesh
+    mesh = global_mesh(fp=2)
+    assert mesh.shape["fp"] == 2
+    assert mesh.shape["dp"] == 4
+    mesh1 = global_mesh(fp=1, dp=8)
+    assert mesh1.shape["dp"] == 8
