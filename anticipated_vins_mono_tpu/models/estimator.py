@@ -41,6 +41,33 @@ from anticipated_vins_mono_tpu.utils.sequence import FrameMeasurement
 MAX_IMU_PER_PAIR = 64  # static pad for per-pair raw IMU buffers
 
 
+def _np_quat_mul(q, p):
+    qw, qx, qy, qz = q
+    pw, px, py, pz = p
+    return np.array([
+        qw * pw - qx * px - qy * py - qz * pz,
+        qw * px + qx * pw + qy * pz - qz * py,
+        qw * py - qx * pz + qy * pw + qz * px,
+        qw * pz + qx * py - qy * px + qz * pw])
+
+
+def _np_exp_quat(theta):
+    angle = np.linalg.norm(theta)
+    half = 0.5 * angle
+    if angle < 1e-9:
+        return np.array([1.0, *(0.5 * theta)])
+    k = np.sin(half) / angle
+    return np.array([np.cos(half), *(k * theta)])
+
+
+def _np_quat_rot(q):
+    w, x, y, z = q
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)]])
+
+
 def _merge_imu_pairs(a: dict, b: dict) -> dict:
     """Concatenate two raw-IMU pair buffers (non-keyframe slide merges the
     dropped interval into its successor, reference slideWindowNew +
@@ -80,7 +107,12 @@ class VioEstimator:
                  init_state: Optional[dict] = None,
                  tic: Optional[np.ndarray] = None,
                  qic: Optional[np.ndarray] = None,
-                 selector=None):
+                 selector=None,
+                 calibrate_extrinsic: bool = False):
+        # ESTIMATE_EXTRINSIC=2 mode (parameters.cpp:96-107): estimate the
+        # camera-IMU rotation online from rotation consistency before init
+        self.calibrate_extrinsic = calibrate_extrinsic
+        self._ex_calibrator = None
         self.cfg = cfg
         # optional anticipation/attention selector (models.feature_selector.
         # AttentionSelector) — applied to incoming features like the
@@ -127,15 +159,18 @@ class VioEstimator:
 
     @staticmethod
     def _propagate(p, q, v, ba, bg, dts, accs, gyrs, acc0, gyr0):
+        """Midpoint IMU propagation — pure numpy (host hot path: runs per
+        frame on ~20 samples; tracing jnp ops per sample costs 100x more
+        than the arithmetic)."""
         g = np.array([0.0, 0.0, -GRAVITY])
-        a_prev, w_prev = acc0, gyr0
+        a_prev, w_prev = np.asarray(acc0, float), np.asarray(gyr0, float)
+        q = np.asarray(q, float)
         for dt, a, w in zip(dts, accs, gyrs):
             un_w = 0.5 * (w_prev + w) - bg
-            q_new = np.asarray(lie.quat_mul(
-                jnp.asarray(q), lie.exp_so3_quat(jnp.asarray(un_w * dt))))
-            q_new = q_new / np.linalg.norm(q_new)
-            R0 = np.asarray(lie.quat_to_rot(jnp.asarray(q)))
-            R1 = np.asarray(lie.quat_to_rot(jnp.asarray(q_new)))
+            q_new = _np_quat_mul(q, _np_exp_quat(un_w * dt))
+            q_new /= np.linalg.norm(q_new)
+            R0 = _np_quat_rot(q)
+            R1 = _np_quat_rot(q_new)
             un_a = 0.5 * (R0 @ (a_prev - ba) + R1 @ (a - ba)) + g
             p = p + v * dt + 0.5 * un_a * dt * dt
             v = v + un_a * dt
@@ -194,12 +229,17 @@ class VioEstimator:
         self.frame_times.append(fm.t)
         self.n_frames += 1
 
+        if self.calibrate_extrinsic:
+            self._run_extrinsic_calibration(k)
+
         if self.n_frames < cfg.nf:
             self._record_output(fm.t, k)
             return
 
         if not self.initialized and not self.oracle_init:
-            if not self._try_initialize():
+            # initialization waits for extrinsic calibration
+            # (estimator.cpp:151-156: init only once ESTIMATE_EXTRINSIC != 2)
+            if self.calibrate_extrinsic or not self._try_initialize():
                 # stay in INITIAL: slide without building a prior
                 # (estimator.cpp:151-179 — init retried as frames arrive)
                 if keyframe:
@@ -315,6 +355,35 @@ class VioEstimator:
             self.frame_times.pop(cfg.nf - 2)
         self.n_frames = cfg.nf - 1
         self._record_output(fm.t, cfg.nf - 2)
+
+    def _run_extrinsic_calibration(self, k: int):
+        """Feed (frame-pair correspondences, preintegrated Δq) to the
+        online rotation calibrator (CalibrationExRotation usage at
+        estimator.cpp:123-149); adopt R_ic once converged."""
+        from anticipated_vins_mono_tpu.models.initialization import (
+            ExtrinsicRotationCalibrator)
+        if self._ex_calibrator is None:
+            self._ex_calibrator = ExtrinsicRotationCalibrator(self.cfg.window)
+        db = self.db
+        both = (db.mask[:, k - 1] > 0) & (db.mask[:, k] > 0)
+        if both.sum() < 20 or not self.imu_pairs:
+            return
+        pair = self.imu_pairs[-1]
+        from anticipated_vins_mono_tpu.ops.preintegration import preintegrate
+        pre = preintegrate(
+            jnp.asarray(pair["dts"], self.dtype),
+            jnp.asarray(pair["acc"], self.dtype),
+            jnp.asarray(pair["gyr"], self.dtype),
+            jnp.asarray(pair["acc0"], self.dtype),
+            jnp.asarray(pair["gyr0"], self.dtype),
+            jnp.zeros(3, self.dtype), jnp.asarray(self.bg[k], self.dtype),
+            self.noise, with_cov=False)
+        ric, done = self._ex_calibrator.add_pair(
+            db.pts[both, k - 1, :2], db.pts[both, k, :2],
+            np.asarray(pre.dq))
+        if done:
+            self.qic = np.asarray(lie.rot_to_quat(jnp.asarray(ric)))
+            self.calibrate_extrinsic = False   # calibrated; switch to refine
 
     # ------------------------------------------------------------------
     # relocalization input (setReloFrame parity, estimator.cpp:1095-1129)

@@ -104,6 +104,42 @@ def recover_pose(E, x1, x2):
     return R, t, good
 
 
+def rotation_only_fit(x1, x2):
+    """Kabsch alignment of unit bearings: R with x2 ≈ R x1 (pure-rotation
+    model) + mean angular residual. The right relative-rotation estimator for
+    rotation-dominant / tiny-baseline frame pairs where the essential matrix
+    carries no signal."""
+    b1 = np.hstack([x1, np.ones((len(x1), 1))])
+    b2 = np.hstack([x2, np.ones((len(x2), 1))])
+    b1 /= np.linalg.norm(b1, axis=1, keepdims=True)
+    b2 /= np.linalg.norm(b2, axis=1, keepdims=True)
+    B = b2.T @ b1
+    U, _, Vt = np.linalg.svd(B)
+    S = np.diag([1.0, 1.0, np.linalg.det(U @ Vt)])
+    R = U @ S @ Vt
+    resid = float(np.mean(np.linalg.norm(b2 - b1 @ R.T, axis=1)))
+    return R, resid
+
+
+def recover_pose_candidates(E, x1, x2):
+    """All four (R, t) decompositions with their cheirality counts."""
+    U, _, Vt = np.linalg.svd(E)
+    if np.linalg.det(U) < 0:
+        U = -U
+    if np.linalg.det(Vt) < 0:
+        Vt = -Vt
+    W = np.array([[0.0, -1, 0], [1, 0, 0], [0, 0, 1]])
+    cands = []
+    for R in (U @ W @ Vt, U @ W.T @ Vt):
+        for t in (U[:, 2], -U[:, 2]):
+            X = _triangulate_pair(R, t, x1, x2)
+            z1 = X[:, 2]
+            z2 = (X @ R.T + t)[:, 2]
+            good = int(np.sum((z1 > 0) & (z2 > 0)))
+            cands.append((good, R, t))
+    return cands
+
+
 def relative_pose_ransac(x1, x2, iters=100, thresh=3e-3, seed=0):
     """RANSAC essential + recoverPose. Returns (R, t, inlier_mask) or None.
 
@@ -366,3 +402,77 @@ def refine_gravity(R_bw, p_cw, pres, tic, g0, iters=4):
     if s <= 0:
         return g, None, None
     return g, x[: nf * 3].reshape(nf, 3), s
+
+
+# ----------------------------------------------------------------------------
+# Online camera-IMU extrinsic rotation calibration
+# ----------------------------------------------------------------------------
+
+
+class ExtrinsicRotationCalibrator:
+    """Online R_ic estimation from rotation-consistency across frame pairs.
+
+    Parity with InitialEXRotation::CalibrationExRotation
+    (/root/reference/vins_estimator/src/initial/initial_ex_rotation.cpp:11-60+):
+    for every frame pair, the camera-frame relative rotation (from the
+    essential matrix) and the body-frame preintegrated rotation must satisfy
+    q_cam ⊗ q_ic = q_ic ⊗ q_imu. Stacking Qleft(q_cam) − Qright(q_imu) rows
+    with Huber-style angular-distance weights and solving by SVD yields
+    q_ic; convergence is declared when the second-smallest singular value
+    exceeds 0.25 after ≥ WINDOW_SIZE pairs.
+    """
+
+    def __init__(self, window: int = 10):
+        self.window = window
+        self.q_cam: list = []   # camera relative rotations (wxyz)
+        self.q_imu: list = []   # preintegrated body rotations
+        self.ric = np.eye(3)
+
+    def add_pair(self, corres_prev: np.ndarray, corres_cur: np.ndarray,
+                 q_imu: np.ndarray):
+        """corres_*: [N,2] normalized correspondences between the frame pair;
+        q_imu: preintegrated Δq between the same frames (body). Returns
+        (ric, converged)."""
+        if len(corres_prev) < 15:
+            return self.ric, False
+        # rotation-only bearing alignment: if pure rotation explains the
+        # flow (tiny baseline — the common calibration regime), use it;
+        # otherwise fall back to essential decomposition
+        R_rot, resid = rotation_only_fit(corres_prev, corres_cur)
+        if resid < 3.0 / 460.0:
+            R_rel = R_rot
+        else:
+            got = relative_pose_ransac(corres_prev, corres_cur,
+                                       seed=len(self.q_cam))
+            if got is None:
+                return self.ric, False
+            R_rel, _, _ = got
+        self.q_cam.append(np.asarray(lie.rot_to_quat(jnp.asarray(R_rel.T))))
+        self.q_imu.append(np.asarray(q_imu, float))
+
+        n = len(self.q_cam)
+        A = np.zeros((4 * n, 4))
+        q_ic = np.asarray(lie.rot_to_quat(jnp.asarray(self.ric)))
+        for i in range(n):
+            qc = jnp.asarray(self.q_cam[i])
+            qi = jnp.asarray(self.q_imu[i])
+            # consistency: q_ic ⊗ q_cam = q_imu ⊗ q_ic
+            # ⇒ (Qleft(q_imu) − Qright(q_cam))·q_ic = 0
+            # weight by the angular residual at the current estimate
+            q_pred = lie.quat_mul(lie.quat_mul(
+                lie.quat_conj(jnp.asarray(q_ic)), qi), jnp.asarray(q_ic))
+            dq = lie.quat_mul(lie.quat_conj(q_pred), qc)
+            ang = float(np.degrees(2 * np.arctan2(
+                np.linalg.norm(np.asarray(dq)[1:]), abs(float(dq[0])))))
+            w = 1.0 if ang < 5.0 else 5.0 / ang   # Huber-like kernel (:33-37)
+            L = np.asarray(lie.q_left(qi))
+            R = np.asarray(lie.q_right(qc))
+            A[4 * i: 4 * i + 4] = w * (L - R)
+        _, svals, Vt = np.linalg.svd(A)
+        q_sol = Vt[-1]
+        q_sol = q_sol / np.linalg.norm(q_sol)
+        if q_sol[0] < 0:
+            q_sol = -q_sol
+        self.ric = np.asarray(lie.quat_to_rot(jnp.asarray(q_sol)))
+        converged = n >= self.window and svals[-2] > 0.25
+        return self.ric, bool(converged)

@@ -123,6 +123,38 @@ def projection_residual(p_i, q_i, p_j, q_j, tic, qic,
     return (FOCAL_LENGTH / 1.5) * r
 
 
+def _tangent_basis_2(u: jax.Array) -> jax.Array:
+    """[...,3] unit bearing → [...,2,3] orthonormal tangent basis."""
+    tmp = jnp.where(jnp.abs(u[..., 2:3]) < 0.9,
+                    jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], u.dtype),
+                                     u.shape),
+                    jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0], u.dtype),
+                                     u.shape))
+    b1 = jnp.cross(u, tmp)
+    b1 = b1 / jnp.linalg.norm(b1, axis=-1, keepdims=True)
+    b2 = jnp.cross(u, b1)
+    return jnp.stack([b1, b2], axis=-2)
+
+
+def projection_residual_unit_sphere(p_i, q_i, p_j, q_j, tic, qic,
+                                    inv_dep_i, pt_i, pt_j) -> jax.Array:
+    """UNIT_SPHERE_ERROR variant (projection_factor.cpp:36-44, used for
+    wide-FOV rigs): residual = tangent-basis projection of the predicted
+    bearing against the measured bearing on the unit sphere."""
+    pts_cam_i = pt_i / inv_dep_i[..., None]
+    pts_imu_i = lie.quat_rotate(qic, pts_cam_i) + tic
+    pts_w = lie.quat_rotate(q_i, pts_imu_i) + p_i
+    pts_imu_j = lie.quat_rotate(lie.quat_conj(q_j), pts_w - p_j)
+    pts_cam_j = lie.quat_rotate(lie.quat_conj(qic), pts_imu_j - tic)
+    pred = pts_cam_j / jnp.maximum(
+        jnp.linalg.norm(pts_cam_j, axis=-1, keepdims=True), 1e-9)
+    meas = pt_j / jnp.maximum(jnp.linalg.norm(pt_j, axis=-1, keepdims=True),
+                              1e-9)
+    B = _tangent_basis_2(meas)
+    r = jnp.einsum("...ij,...j->...i", B, pred - meas)
+    return (FOCAL_LENGTH / 1.5) * r
+
+
 def projection_td_residual_raw(p_i, q_i, p_j, q_j, tic, qic,
                                inv_dep_i, td,
                                pt_i, pt_j, vel_i, vel_j,

@@ -41,7 +41,7 @@ def _augmented_system(state: WindowState, meas: WindowMeasurements,
     built from the factors in `meas` (caller pre-masks to the drop-touching
     subset) via the solver's own batched linearization."""
     d, f, nf = cfg.dim, cfg.max_feats, cfg.nf
-    r_all, J_all, p_res, p_rows, p_rho = linearize(state, meas, cfg, anchor_ref)
+    r_all, J_all, p_res, p_rows, p_rho, _ = linearize(state, meas, cfg, anchor_ref)
     # augment projection rows with their landmark column (block-diagonal in l)
     eye_f = jnp.eye(f, dtype=p_rho.dtype)
     # p_rho: [F,NF,2]; landmark column one-hot over F

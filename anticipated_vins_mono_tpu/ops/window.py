@@ -230,10 +230,11 @@ def _proj_factor_rows(state: WindowState, meas: WindowMeasurements,
 
     valid = (meas.mask[feat, a] * meas.mask[feat, frame]
              * meas.feat_valid[feat] * (frame != a))
-    w = factors.cauchy_weight(jnp.sum(res * res), cfg.cauchy_scale) * valid
+    sq = jnp.sum(res * res)
+    w = factors.cauchy_weight(sq, cfg.cauchy_scale) * valid
     if not cfg.estimate_extrinsic:
         J_e = jnp.zeros_like(J_e)
-    return res, (J_a, J_j, J_e, J_td), J_rho, w
+    return res, (J_a, J_j, J_e, J_td), J_rho, w, sq * valid
 
 
 def _imu_factor_rows(state: WindowState, meas: WindowMeasurements,
@@ -280,10 +281,11 @@ def _relo_factor_rows(state: WindowState, meas: WindowMeasurements,
     res, (J_a, J_r, J_e, J_rho) = factors.tangent_jacobian(
         res_fn, (pose_a, pose_r, pose_e), (invd,))
     valid = meas.mask[feat, a] * meas.feat_valid[feat] * meas.relo_valid[feat]
-    w = factors.cauchy_weight(jnp.sum(res * res), cfg.cauchy_scale) * valid
+    sq = jnp.sum(res * res)
+    w = factors.cauchy_weight(sq, cfg.cauchy_scale) * valid
     if not cfg.estimate_extrinsic:
         J_e = jnp.zeros_like(J_e)
-    return res, (J_a, J_r, J_e), J_rho, w
+    return res, (J_a, J_r, J_e), J_rho, w, sq * valid
 
 
 def _anchor_rows(state: WindowState, anchor_ref, cfg: WindowConfig,
@@ -318,7 +320,7 @@ def linearize(state: WindowState, meas: WindowMeasurements, cfg: WindowConfig,
     proj_fn = jax.vmap(jax.vmap(
         lambda l, j: _proj_factor_rows(state, meas, cfg, l, j),
         in_axes=(None, 0)), in_axes=(0, None))
-    p_res, (J_a, J_j, J_e, J_td), p_rho, p_w = proj_fn(f_grid, j_grid)
+    p_res, (J_a, J_j, J_e, J_td), p_rho, p_w, p_sq = proj_fn(f_grid, j_grid)
     # weight applied to both residual and Jacobian (Triggs sqrt(ρ') scaling)
     p_res = p_res * p_w[..., None]
     wj = p_w[..., None, None]
@@ -341,7 +343,7 @@ def linearize(state: WindowState, meas: WindowMeasurements, cfg: WindowConfig,
     if meas.relo_pts is not None:
         # relo factors enter as one extra pseudo-frame column of the
         # projection grid so the Schur elimination sees their landmark terms
-        rr, (rJ_a, rJ_r, rJ_e), r_rho, r_w = jax.vmap(
+        rr, (rJ_a, rJ_r, rJ_e), r_rho, r_w, r_sq = jax.vmap(
             lambda l: _relo_factor_rows(state, meas, cfg, l))(f_grid)
         rr = rr * r_w[..., None]
         rw2 = r_w[..., None, None]
@@ -354,6 +356,7 @@ def linearize(state: WindowState, meas: WindowMeasurements, cfg: WindowConfig,
         p_res = jnp.concatenate([p_res, rr[:, None]], axis=1)
         p_rows = jnp.concatenate([p_rows, r_rows[:, None]], axis=1)
         p_rho = jnp.concatenate([p_rho, r_rho[:, None]], axis=1)
+        p_sq = jnp.concatenate([p_sq, r_sq[:, None]], axis=1)
 
     imu_fn = jax.vmap(lambda i: _imu_factor_rows(state, meas, cfg, i))
     i_res, (J_pi, J_pj, J_si, J_sj), i_w = imu_fn(
@@ -384,7 +387,18 @@ def linearize(state: WindowState, meas: WindowMeasurements, cfg: WindowConfig,
     J_all = jnp.concatenate([
         p_rows.reshape(-1, cfg.dim), i_rows.reshape(-1, cfg.dim),
         pr_rows, a_rows])
-    return r_all, J_all, p_res, p_rows, p_rho
+    return r_all, J_all, p_res, p_rows, p_rho, p_sq
+
+
+def cost_from_linearization(r_all, p_res, p_sq, cfg: WindowConfig):
+    """Exact robust cost from a linearization's residuals — avoids a second
+    full residual pass per LM iteration. Projection factors use the true
+    Cauchy ρ on their raw squared norms; the remaining rows (IMU, prior,
+    anchor) are plain quadratic and already validity-weighted in r_all."""
+    c2 = cfg.cauchy_scale ** 2
+    proj_cost = 0.5 * c2 * jnp.sum(jnp.log1p(p_sq / c2))
+    rest = r_all[p_res.size:]
+    return proj_cost + 0.5 * jnp.sum(rest * rest)
 
 
 def robust_cost(state: WindowState, meas: WindowMeasurements,
@@ -503,39 +517,37 @@ def lm_solve(state: WindowState, meas: WindowMeasurements, cfg: WindowConfig):
     anchor_ref = (state.p[0], state.q[0])
 
     def body(_, carry):
-        st, lam, nu, cost = carry
-        r_all, J_all, p_res, p_rows, p_rho = linearize(st, meas, cfg, anchor_ref)
+        st, lam, cost = carry
+        r_all, J_all, p_res, p_rows, p_rho, p_sq = linearize(
+            st, meas, cfg, anchor_ref)
         H, g, H_lp, h_ll, g_l = build_normal_equations(
             r_all, J_all, p_res, p_rows, p_rho, cfg)
         dx, d_rho, pred = schur_solve(H, g, H_lp, h_ll, g_l, lam, cfg)
         cand = retract(st, dx, d_rho, cfg)
         new_cost = robust_cost(cand, meas, cfg, anchor_ref)
+        # NOTE: carrying the candidate's linearization across iterations to
+        # skip this residual pass was tried and is SLOWER on TPU — blending
+        # the [N,D] Jacobian pytrees through the branchless accept/reject is
+        # bandwidth-bound and costs more than the residual re-evaluation.
 
-        # Nielsen gain-ratio damping: rho = actual / predicted reduction.
         rho = (cost - new_cost) / jnp.maximum(pred, 1e-30)
         ok = (new_cost < cost) & (pred > 0)
         okf = ok.astype(dx.dtype)
-        st_next = jax.tree_util.tree_map(
-            lambda a, b: okf * b + (1.0 - okf) * a, st, cand)
-        # renormalize quaternions after the blend (blend of two units)
-        st_next = st_next._replace(
-            q=lie.quat_normalize(st_next.q),
-            qic=lie.quat_normalize(st_next.qic))
+        sel = lambda a, b: okf * b + (1.0 - okf) * a
+        st_next = jax.tree_util.tree_map(sel, st, cand)
+        st_next = st_next._replace(q=lie.quat_normalize(st_next.q),
+                                   qic=lie.quat_normalize(st_next.qic))
         if cfg.lm_strategy == "nielsen":
             shrink = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
-            lam_next = jnp.where(ok, lam * shrink, lam * nu)
-            nu_next = jnp.where(ok, jnp.full_like(nu, 2.0), nu * 2.0)
+            lam_next = jnp.where(ok, lam * shrink, lam * 2.0)
         else:
             lam_next = jnp.where(ok, lam * cfg.lm_lambda_down,
                                  lam * cfg.lm_lambda_up)
-            nu_next = nu
         lam_next = jnp.clip(lam_next, 1e-12, 1e8)
-        cost_next = jnp.where(ok, new_cost, cost)
-        return st_next, lam_next, nu_next, cost_next
+        return st_next, lam_next, jnp.where(ok, new_cost, cost)
 
     cost0 = robust_cost(state, meas, cfg, anchor_ref)
     lam0 = jnp.asarray(cfg.lm_lambda_init, state.p.dtype)
-    nu0 = jnp.asarray(2.0, state.p.dtype)
-    st, lam, nu, cost = jax.lax.fori_loop(0, cfg.iters, body,
-                                          (state, lam0, nu0, cost0))
+    st, lam, cost = jax.lax.fori_loop(
+        0, cfg.iters, body, (state, lam0, cost0))
     return st, {"cost0": cost0, "cost": cost, "lambda": lam}

@@ -76,7 +76,7 @@ def sharded_lm_solve(cfg: WindowConfig, mesh: Mesh):
 
         def body(_, carry):
             st, lam, cost = carry
-            r_all, J_all, p_res, p_rows, p_rho = linearize(
+            r_all, J_all, p_res, p_rows, p_rho, _p_sq = linearize(
                 st, meas, cfg_l, anchor_ref)
             # scale the shared (non-projection) rows so the psum'd normal
             # equations count them exactly once
