@@ -420,17 +420,20 @@ class VioEstimator:
         q_wb = np.stack([np.asarray(lie.rot_to_quat(jnp.asarray(R)))
                          for R in R_wb])
 
-        # gyro bias LS + repropagation (initial_aligment.cpp:3-37)
-        pres = [jax.tree_util.tree_map(lambda x, i=i: x[i],
-                                       self._preintegrate_pairs())
-                for i in range(cfg.window)]
+        # gyro bias LS + repropagation (initial_aligment.cpp:3-37) — host
+        # f64 preintegration keeps init behavior identical across backends
+        def host_pres():
+            return [vi_init.preintegrate_host(
+                pr["dts"], pr["acc"], pr["gyr"], pr["acc0"], pr["gyr0"],
+                np.zeros(3), self.bg[i].copy())
+                for i, pr in enumerate(self.imu_pairs[:cfg.window])]
+
+        pres = host_pres()
         dbg = vi_init.solve_gyro_bias(q_wb, pres)
         if not np.all(np.isfinite(dbg)) or np.linalg.norm(dbg) > 1.0:
             return False
         self.bg[:] = self.bg + dbg
-        pre_stack = self._preintegrate_pairs()
-        pres = [jax.tree_util.tree_map(lambda x, i=i: x[i], pre_stack)
-                for i in range(cfg.window)]
+        pres = host_pres()
 
         out = vi_init.linear_alignment(R_wb, c_w, pres, self.tic)
         if out is None:

@@ -22,7 +22,7 @@ feature counts.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import numpy as np
 import jax
@@ -187,7 +187,7 @@ def lk_track(prev_pyr: tuple, cur_pyr: tuple, pts: jax.Array,
 
     flow = jnp.zeros((N, 2), dtype)
     for level in range(levels - 1, -1, -1):
-        flow = track_level(flow, level) * (1.0 if level == 0 else 1.0)
+        flow = track_level(flow, level)
         if level > 0:
             flow = flow * 2.0  # upsample flow to the next finer level
     new_pts = pts + flow

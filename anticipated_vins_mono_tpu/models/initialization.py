@@ -38,6 +38,61 @@ def _R_to_quat(R):
 
 
 # ----------------------------------------------------------------------------
+# Host-precision preintegration (init-time)
+# ----------------------------------------------------------------------------
+
+
+class HostPreintegration:
+    """Minimal f64 preintegration product for the initialization chain."""
+
+    __slots__ = ("dp", "dq", "dv", "dt_sum", "J")
+
+    def __init__(self, dp, dq, dv, dt_sum, J_q_bg):
+        self.dp, self.dq, self.dv, self.dt_sum = dp, dq, dv, dt_sum
+        J = np.zeros((15, 15))
+        J[3:6, 12:15] = J_q_bg
+        self.J = J
+
+
+def preintegrate_host(dts, acc, gyr, acc0, gyr0, ba, bg) -> HostPreintegration:
+    """Midpoint preintegration in numpy float64.
+
+    The init chain (gyro-bias LS, linear alignment) is precision-sensitive;
+    running it from device-dtype (f32 on TPU) preintegrations makes
+    initialization behave differently per backend. This host path keeps it
+    deterministic and f64 everywhere. Mirrors the device scan
+    (ops/preintegration.py) without covariance."""
+    from anticipated_vins_mono_tpu.models.estimator import (
+        _np_quat_mul, _np_exp_quat, _np_quat_rot)
+    dp = np.zeros(3)
+    dv = np.zeros(3)
+    dq = np.array([1.0, 0, 0, 0])
+    J_q_bg = np.zeros((3, 3))
+    a_prev, w_prev = np.asarray(acc0, float), np.asarray(gyr0, float)
+    t = 0.0
+    for k in range(len(dts)):
+        dt = float(dts[k])
+        a1, w1 = np.asarray(acc[k], float), np.asarray(gyr[k], float)
+        un_w = 0.5 * (w_prev + w1) - bg
+        dq_new = _np_quat_mul(dq, _np_exp_quat(un_w * dt))
+        dq_new /= np.linalg.norm(dq_new)
+        R0 = _np_quat_rot(dq)
+        R1 = _np_quat_rot(dq_new)
+        un_a = 0.5 * (R0 @ (a_prev - ba) + R1 @ (a1 - ba))
+        dp = dp + dv * dt + 0.5 * un_a * dt * dt
+        dv = dv + un_a * dt
+        # δθ/δbg propagation: J ← (I − [ω]×dt)·J − I·dt (integration_base F)
+        wx = np.array([[0, -un_w[2], un_w[1]],
+                       [un_w[2], 0, -un_w[0]],
+                       [-un_w[1], un_w[0], 0]])
+        J_q_bg = (np.eye(3) - wx * dt) @ J_q_bg - np.eye(3) * dt
+        dq = dq_new
+        a_prev, w_prev = a1, w1
+        t += dt
+    return HostPreintegration(dp, dq, dv, t, J_q_bg)
+
+
+# ----------------------------------------------------------------------------
 # Two-view geometry
 # ----------------------------------------------------------------------------
 

@@ -28,7 +28,6 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from anticipated_vins_mono_tpu.ops import lie
 from anticipated_vins_mono_tpu.ops.window import (
     PriorFactor, WindowConfig, WindowMeasurements, WindowState, linearize)
 

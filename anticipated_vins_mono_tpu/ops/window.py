@@ -309,8 +309,10 @@ def linearize(state: WindowState, meas: WindowMeasurements, cfg: WindowConfig,
               anchor_ref=None):
     """All residual rows + dense Jacobian blocks, fully batched.
 
-    Returns (r_all [N], J_all [N,D], rho_vals [F,NF,2], rho_w [F,NF]):
-    the landmark columns stay factored out for the Schur step.
+    Returns (r_all [N], J_all [N,D], p_res [F,NFx,2], p_rows [F,NFx,2,D],
+    p_rho [F,NFx,2], p_sq [F,NFx]) where NFx = NF (+1 when a relo frame is
+    attached): the landmark columns stay factored out for the Schur step and
+    p_sq carries the raw robust-loss arguments for cost evaluation.
     """
     F, NF, W, D = cfg.max_feats, cfg.nf, cfg.window, cfg.dim
     dtype = state.p.dtype
@@ -495,8 +497,15 @@ def schur_solve(H, g, H_lp, h_ll, g_l, lam, cfg: WindowConfig):
     diag = jnp.diagonal(H_red)
     damp = lam * jnp.maximum(diag, 1e-8) + 1e-10
     A = H_red + jnp.diag(damp)
-    L = jnp.linalg.cholesky(A)
-    dx = -jax.scipy.linalg.cho_solve((L, True), g_red)
+    # Jacobi preconditioning: the IMU whitening spreads H's diagonal over
+    # ~10 decades, which wrecks a float32 Cholesky on TPU; normalizing to a
+    # unit diagonal keeps the factorization well-scaled (SURVEY.md §7
+    # hard part 4 mixed-precision plan).
+    dscale = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(A), 1e-20))
+    An = A * dscale[:, None] * dscale[None, :]
+    L = jnp.linalg.cholesky(An)
+    y = -jax.scipy.linalg.cho_solve((L, True), g_red * dscale)
+    dx = y * dscale
     d_rho = -inv_h * (g_l + H_lp @ dx)
     # predicted cost reduction of the damped quadratic model (for the LM
     # gain ratio); landmark part uses its own damping term.

@@ -21,16 +21,14 @@ floating-point reassociation (SURVEY.md §7 hard part 7).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from anticipated_vins_mono_tpu.ops import lie
 from anticipated_vins_mono_tpu.ops.window import (
     WindowConfig, WindowMeasurements, WindowState, linearize,
-    build_normal_equations, schur_solve, retract, robust_cost)
+    build_normal_equations, retract, robust_cost)
 
 
 def make_mesh(n_dp: int, n_fp: int, devices=None) -> Mesh:

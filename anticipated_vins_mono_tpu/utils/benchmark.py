@@ -13,8 +13,6 @@ import json
 import os
 from typing import Iterable, Optional
 
-import numpy as np
-
 from anticipated_vins_mono_tpu.models.anticipation import SelectorConfig
 from anticipated_vins_mono_tpu.models.estimator import VioEstimator
 from anticipated_vins_mono_tpu.models.feature_selector import AttentionSelector

@@ -20,8 +20,6 @@ import re
 from dataclasses import dataclass, field
 from typing import Optional
 
-import numpy as np
-
 from anticipated_vins_mono_tpu.ops.preintegration import ImuNoise
 from anticipated_vins_mono_tpu.ops.window import WindowConfig
 from anticipated_vins_mono_tpu.models.anticipation import SelectorConfig

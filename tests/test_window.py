@@ -80,3 +80,20 @@ def test_vmap_scenario_batch():
     sts, diags = jax.vmap(lambda s, m: lm_solve(s, m, CFG))(init, meas)
     assert sts.p.shape[0] == 2
     assert np.all(np.asarray(diags["cost"]) < np.asarray(diags["cost0"]) + 1e-9)
+
+
+def test_td_estimation_recovers_offset():
+    """estimate_td path: observations shifted along their image velocities by
+    a constant time offset must be explained by the td variable
+    (ProjectionTdFactor semantics, projection_td_factor.cpp:38-60)."""
+    cfg = WindowConfig(window=5, max_feats=48, iters=25, estimate_td=True)
+    prob = make_window_problem(cfg, seed=9, perturb=0.0)
+    td_true = 0.02
+    rng = np.random.default_rng(0)
+    vel = rng.normal(size=prob.meas.vel.shape) * 0.5
+    pts = np.asarray(prob.meas.pts).copy()
+    pts[..., :2] += vel * td_true
+    meas = prob.meas._replace(pts=jnp.asarray(pts), vel=jnp.asarray(vel))
+    st, diag = lm_solve(prob.init, meas, cfg)
+    assert float(diag["cost"]) < float(diag["cost0"])
+    assert abs(float(st.td) - td_true) < 5e-3, float(st.td)
