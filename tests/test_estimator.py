@@ -68,3 +68,34 @@ def test_euroc_mh05_with_real_init():
     gt_bg = euroc.load_gt_csv(
         euroc.REFERENCE_GT_DIR + "/MH_05_difficult/data.csv", max_rows=10)["bg"][0]
     assert np.linalg.norm(est.bg[0] - gt_bg) < 0.02
+
+
+def test_vio_node_streaming_matches_batch():
+    """The push-style VioNode (estimator_node ingest parity) must produce the
+    same trajectory as direct FrameMeasurement feeding."""
+    from anticipated_vins_mono_tpu.models.node import VioNode, _PyAligner
+
+    traj = analytic_trajectory(3.0)
+    sim = SequenceSimulator(traj, seed=0, pixel_noise=0.5, max_features=50)
+    cfg = WindowConfig(window=6, max_feats=64, iters=6)
+    frames = list(sim.frames(25))
+
+    est_a = VioEstimator(cfg, init_state={"p": traj.p[0], "q": traj.q[0],
+                                          "v": traj.v[0]})
+    for fm in frames:
+        est_a.process_frame(fm)
+
+    est_b = VioEstimator(cfg, init_state={"p": traj.p[0], "q": traj.q[0],
+                                          "v": traj.v[0]})
+    node = VioNode(est_b)
+    # interleave: stream raw IMU and features in timestamp order
+    for k in range(len(traj.t)):
+        node.push_imu(traj.t[k], traj.acc_body[k], traj.gyr_body[k])
+        for fm in frames:
+            if abs(fm.t - traj.t[k]) < 1e-9:
+                node.push_features(fm.t, fm.feats)
+    assert len(est_b.trajectory) >= len(frames) - 1
+    pa = np.stack([x[1] for x in est_a.trajectory])
+    pb = np.stack([x[1] for x in est_b.trajectory[:len(est_a.trajectory)]])
+    n = min(len(pa), len(pb))
+    assert np.linalg.norm(pa[:n] - pb[:n], axis=1).max() < 5e-2

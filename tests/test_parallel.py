@@ -58,3 +58,36 @@ def test_global_mesh_layout():
     assert mesh.shape["dp"] == 4
     mesh1 = global_mesh(fp=1, dp=8)
     assert mesh1.shape["dp"] == 8
+
+
+def test_sharded_selection_matches_single_device():
+    """Candidate-sharded greedy (psum'd gains) must equal exact greedy."""
+    from anticipated_vins_mono_tpu.models import anticipation as ant
+    from anticipated_vins_mono_tpu.parallel.selector import sharded_select
+
+    rng = np.random.default_rng(0)
+    scfg = ant.SelectorConfig(horizon=6)
+    D = scfg.dim
+    B, F, kappa = 2, 16, 4
+    A = rng.normal(size=(B, D + 4, D)) * 0.3
+    Omega = jnp.asarray(np.einsum("bij,bik->bjk", A, A) + np.eye(D))
+    Deltas = []
+    for _ in range(B * F):
+        Bm = rng.normal(size=(4, D))
+        Deltas.append(Bm.T @ Bm)
+    Deltas = jnp.asarray(np.stack(Deltas).reshape(B, F, D, D))
+    probs = jnp.asarray(rng.uniform(0.5, 1.0, (B, F)))
+    valid = jnp.ones((B, F))
+
+    # reference: per-scenario exact greedy
+    refs = [ant.select_informative(Omega[b], Deltas[b], probs[b], valid[b], kappa)
+            for b in range(B)]
+
+    mesh = make_mesh(2, 2)
+    solver = sharded_select(mesh, kappa)
+    sel, OmF = solver(Omega, Deltas, probs, valid)
+    for b in range(B):
+        np.testing.assert_array_equal(np.asarray(sel[b]),
+                                      np.asarray(refs[b][0]))
+        np.testing.assert_allclose(np.asarray(OmF[b]),
+                                   np.asarray(refs[b][1]), rtol=1e-8)
