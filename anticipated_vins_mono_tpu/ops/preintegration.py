@@ -64,6 +64,9 @@ class Preintegrated(NamedTuple):
     dt_sum: jax.Array    # [...]    total integration time
     ba: jax.Array        # [...,3]  linearization accel bias
     bg: jax.Array        # [...,3]  linearization gyro bias
+    S: jax.Array = None  # [...,15,15] whitening sqrt-info (L⁻¹ of P=LLᵀ),
+    #                      precomputed once — the factor re-whitens per LM
+    #                      iteration otherwise (imu_factor.h:64-66 analog)
 
 
 def _midpoint_step(carry, inp, noise_cov, with_cov):
@@ -174,7 +177,13 @@ def preintegrate(dts: jax.Array, accs: jax.Array, gyrs: jax.Array,
 
     carry, _ = jax.lax.scan(step, init, (dts.astype(dtype), accs, gyrs))
     dp, dq, dv, J, P, _, _, _, _, dt_sum = carry
-    return Preintegrated(dp, dq, dv, J, P, dt_sum, ba.astype(dtype), bg.astype(dtype))
+    S = None
+    if with_cov:
+        L = jnp.linalg.cholesky(P + 1e-11 * jnp.eye(15, dtype=dtype))
+        S = jax.scipy.linalg.solve_triangular(
+            L, jnp.eye(15, dtype=dtype), lower=True)
+    return Preintegrated(dp, dq, dv, J, P, dt_sum, ba.astype(dtype),
+                         bg.astype(dtype), S)
 
 
 def corrected_deltas(pre: Preintegrated, ba: jax.Array, bg: jax.Array):

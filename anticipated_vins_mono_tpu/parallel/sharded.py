@@ -165,4 +165,4 @@ def _pre_struct():
     """Pytree skeleton of Preintegrated for spec mapping."""
     from anticipated_vins_mono_tpu.ops.preintegration import Preintegrated
     z = 0
-    return Preintegrated(dp=z, dq=z, dv=z, J=z, P=z, dt_sum=z, ba=z, bg=z)
+    return Preintegrated(dp=z, dq=z, dv=z, J=z, P=z, dt_sum=z, ba=z, bg=z, S=z)

@@ -36,8 +36,12 @@ def run_one(sequence: str, policy: Optional[str] = "anticipate",
     wcfg = WindowConfig(window=10, max_feats=192, iters=8)
     sel = None
     if policy is not None:
+        # init_threshold=30 matches the reference euroc config
+        # (euroc_config.yaml:85): below 30 tracked features pre-init the
+        # whole image passes through — starving the initializer with a 0
+        # threshold destabilizes the difficult sequences
         scfg = SelectorConfig(horizon=10, max_features=kappa,
-                              init_threshold=0)
+                              init_threshold=30)
         sel = AttentionSelector(scfg, max_candidates=detect_count,
                                 policy=policy, seed=seed)
     est = VioEstimator(wcfg, selector=sel)
