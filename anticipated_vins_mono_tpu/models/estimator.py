@@ -108,7 +108,20 @@ class VioEstimator:
                  tic: Optional[np.ndarray] = None,
                  qic: Optional[np.ndarray] = None,
                  selector=None,
-                 calibrate_extrinsic: bool = False):
+                 calibrate_extrinsic: bool = False,
+                 zupt: bool = True,
+                 zupt_weight: float = 30.0,
+                 zupt_gyr_thresh: float = 0.05,
+                 zupt_gyr_mean_thresh: float = 0.03,
+                 zupt_acc_thresh: float = 1.0):
+        self.zupt_gyr_mean_thresh = zupt_gyr_mean_thresh
+        # zero-velocity updates when the IMU flags a frame stationary —
+        # stabilizes the accel-bias/tilt null direction during long hovers
+        # (extension; the reference diverges there, results.tex:49)
+        self.zupt = zupt
+        self.zupt_weight = zupt_weight
+        self.zupt_gyr_thresh = zupt_gyr_thresh
+        self.zupt_acc_thresh = zupt_acc_thresh
         # ESTIMATE_EXTRINSIC=2 mode (parameters.cpp:96-107): estimate the
         # camera-IMU rotation online from rotation consistency before init
         self.calibrate_extrinsic = calibrate_extrinsic
@@ -145,6 +158,7 @@ class VioEstimator:
         self.prior = PriorFactor.empty(cfg, self.dtype)
         self.n_frames = 0
         self.imu_pairs: list = []   # raw IMU per adjacent pair
+        self.stationary = np.zeros(cfg.nf)  # per-frame ZUPT flags
         self.frame_times: list = []
         self.trajectory: list = []  # (t, p, q, v) of the newest frame
         self.diag = EstimatorDiagnostics()
@@ -208,6 +222,18 @@ class VioEstimator:
             "acc0": np.asarray(fm.acc0, float),
             "gyr0": np.asarray(fm.gyr0, float),
         })
+        if self.zupt and len(fm.imu_gyr):
+            gyr = np.asarray(fm.imu_gyr)
+            gyr_fluct = np.abs(gyr - gyr.mean(0)).max()
+            gyr_mean = np.linalg.norm(gyr.mean(0) - self.bg[k - 1])
+            acc = np.asarray(fm.imu_acc)
+            acc_fluct = np.abs(acc - acc.mean(0)).max()
+            self.stationary[k] = float(
+                gyr_fluct < self.zupt_gyr_thresh
+                and gyr_mean < self.zupt_gyr_mean_thresh
+                and acc_fluct < self.zupt_acc_thresh)
+        else:
+            self.stationary[k] = 0.0
         self.p[k], self.q[k], self.v[k] = self._propagate(
             self.p[k - 1], self.q[k - 1], self.v[k - 1],
             self.ba[k - 1], self.bg[k - 1],
@@ -511,7 +537,9 @@ class VioEstimator:
             mask=jnp.asarray(self.db.mask, d),
             anchor=jnp.asarray(self.db.anchor),
             feat_valid=jnp.asarray(self.db.feat_valid, d),
-            prior=self.prior)
+            prior=self.prior,
+            zupt_w=jnp.asarray(self.stationary * self.zupt_weight, d)
+            if self.zupt else None)
 
     def _adopt(self, st: WindowState):
         self.p = np.array(st.p)
@@ -539,6 +567,7 @@ class VioEstimator:
     def _shift_state(self, drop: int):
         for arr in (self.p, self.q, self.v, self.ba, self.bg):
             arr[drop:-1] = arr[drop + 1:]
+        self.stationary[drop:-1] = self.stationary[drop + 1:]
 
     def _failure(self, st: WindowState) -> bool:
         """failureDetection (estimator.cpp:612-658)."""

@@ -38,6 +38,7 @@ class ImuNoise(NamedTuple):
     gyr_n: float = 0.004
     acc_w: float = 0.00004
     gyr_w: float = 2.0e-6
+    dt_ref: float = 0.005  # nominal sample period the noise values assume
 
     def noise_cov18(self, dtype=jnp.float64) -> jax.Array:
         """18x18 diagonal noise covariance, layout matching
@@ -69,7 +70,7 @@ class Preintegrated(NamedTuple):
     #                      iteration otherwise (imu_factor.h:64-66 analog)
 
 
-def _midpoint_step(carry, inp, noise_cov, with_cov):
+def _midpoint_step(carry, inp, noise_cov, with_cov, dt_ref):
     """One midpoint update. Mirrors midPointIntegration
     (integration_base.h:54-128) including the F,V block structure at :90-125.
 
@@ -134,6 +135,13 @@ def _midpoint_step(carry, inp, noise_cov, with_cov):
         ])
 
         J_new = F @ J
+        # NOTE: the configured noise values follow the reference's
+        # convention (treated as per-sample at the nominal rate,
+        # integration_base.h:21-27). A dt-proportional rescale for decimated
+        # buffers was tried and destabilized the depth bookkeeping —
+        # decimation keeps the reference weighting instead (dt_ref unused
+        # in the covariance on purpose).
+        del dt_ref
         P_new = F @ P @ F.T + V @ noise_cov @ V.T
     else:
         J_new, P_new = J, P
@@ -173,7 +181,7 @@ def preintegrate(dts: jax.Array, accs: jax.Array, gyrs: jax.Array,
     )
 
     def step(carry, inp):
-        return _midpoint_step(carry, inp, ncov, with_cov)
+        return _midpoint_step(carry, inp, ncov, with_cov, noise.dt_ref)
 
     carry, _ = jax.lax.scan(step, init, (dts.astype(dtype), accs, gyrs))
     dp, dq, dv, J, P, _, _, _, _, dt_sum = carry

@@ -135,6 +135,12 @@ class WindowMeasurements(NamedTuple):
     # factors added to the BA at :760-792). None = no relo frame attached.
     relo_pts: jax.Array = None    # [F,3] matched obs in the relo frame
     relo_valid: jax.Array = None  # [F] 1/0 match per landmark slot
+    # zero-velocity pseudo-measurements (EXTENSION over the reference): the
+    # accel-bias↔tilt direction is unobservable during long stationary
+    # phases and runs away at small feature budgets — the reference's own
+    # MH_05 runs diverge there (results.tex:49). Per-frame sqrt-weights,
+    # nonzero only when the IMU stream flags the frame stationary.
+    zupt_w: jax.Array = None      # [NF] sqrt-information on v_i ≈ 0
 
 
 # ----------------------------------------------------------------------------
@@ -384,11 +390,23 @@ def linearize(state: WindowState, meas: WindowMeasurements, cfg: WindowConfig,
         anchor_ref = (state.p[0], state.q[0])
     a_res, a_rows = _anchor_rows(state, anchor_ref, cfg, meas.prior.weight)
 
+    extra_res, extra_rows = [], []
+    if meas.zupt_w is not None:
+        z_res = (meas.zupt_w[:, None] * state.v).reshape(-1)     # [3NF]
+        # rows [NF,3,D]: identity on each frame's velocity block
+        zrows = jnp.zeros((NF, 3, cfg.dim), dtype)
+        for i_f in range(NF):
+            zrows = zrows.at[i_f, :, 6 * NF + 9 * i_f: 6 * NF + 9 * i_f + 3]\
+                .set(jnp.eye(3, dtype=dtype))
+        zrows = zrows * meas.zupt_w[:, None, None]
+        extra_res.append(z_res)
+        extra_rows.append(zrows.reshape(-1, cfg.dim))
+
     r_all = jnp.concatenate([
-        p_res.reshape(-1), i_res.reshape(-1), pr_res, a_res])
+        p_res.reshape(-1), i_res.reshape(-1), pr_res, a_res] + extra_res)
     J_all = jnp.concatenate([
         p_rows.reshape(-1, cfg.dim), i_rows.reshape(-1, cfg.dim),
-        pr_rows, a_rows])
+        pr_rows, a_rows] + extra_rows)
     return r_all, J_all, p_res, p_rows, p_rho, p_sq
 
 
@@ -456,7 +474,10 @@ def robust_cost(state: WindowState, meas: WindowMeasurements,
     if anchor_ref is None:
         anchor_ref = (state.p[0], state.q[0])
     a_res, _ = _anchor_rows(state, anchor_ref, cfg, meas.prior.weight)
-    return pc + ic + rc + prc + 0.5 * jnp.sum(a_res * a_res)
+    zc = 0.0
+    if meas.zupt_w is not None:
+        zc = 0.5 * jnp.sum((meas.zupt_w[:, None] * state.v) ** 2)
+    return pc + ic + rc + prc + zc + 0.5 * jnp.sum(a_res * a_res)
 
 # ----------------------------------------------------------------------------
 # Normal equations + Schur complement + LM loop

@@ -99,3 +99,33 @@ def test_vio_node_streaming_matches_batch():
     pb = np.stack([x[1] for x in est_b.trajectory[:len(est_a.trajectory)]])
     n = min(len(pa), len(pb))
     assert np.linalg.norm(pa[:n] - pb[:n], axis=1).max() < 5e-2
+
+
+def test_zupt_bounds_low_feature_hover():
+    """At small feature budgets the accel-bias/tilt direction runs away in
+    long stationary phases (the reference's own MH_05 divergence class);
+    zero-velocity updates must keep the hover bounded."""
+    tr = analytic_trajectory(10.0)
+    k_stop = int(3.0 * 200)
+    p, v, q = tr.p.copy(), tr.v.copy(), tr.q.copy()
+    acc, gyr = tr.acc_body.copy(), tr.gyr_body.copy()
+    p[k_stop:] = p[k_stop]
+    v[k_stop:] = 0
+    q[k_stop:] = q[k_stop]
+    R = np.asarray(lie.quat_to_rot(jnp.asarray(q[k_stop])))
+    acc[k_stop:] = R.T @ np.array([0, 0, GRAVITY])
+    gyr[k_stop:] = 0
+    traj = Trajectory(tr.t, p, q, v, acc, gyr)
+    cfg = WindowConfig(window=10, max_feats=64, iters=8)
+
+    ates = {}
+    for zupt in (False, True):
+        sim = SequenceSimulator(traj, seed=0, pixel_noise=0.5,
+                                max_features=25)
+        est = VioEstimator(cfg, init_state={"p": p[0], "q": q[0], "v": v[0]},
+                           zupt=zupt)
+        res = run_sequence(est, sim)
+        ates[zupt] = res.ate
+    assert ates[True] < 0.5, ates
+    # and it must actually be the ZUPT doing the work, or at worst harmless
+    assert ates[True] <= ates[False] * 1.5 + 0.05, ates
