@@ -135,14 +135,15 @@ def _midpoint_step(carry, inp, noise_cov, with_cov, dt_ref):
         ])
 
         J_new = F @ J
-        # NOTE: the configured noise values follow the reference's
-        # convention (treated as per-sample at the nominal rate,
-        # integration_base.h:21-27). A dt-proportional rescale for decimated
-        # buffers was tried and destabilized the depth bookkeeping —
-        # decimation keeps the reference weighting instead (dt_ref unused
-        # in the covariance on purpose).
-        del dt_ref
-        P_new = F @ P @ F.T + V @ noise_cov @ V.T
+        # Noise model follows the reference convention (per-sample values at
+        # the nominal rate, integration_base.h:21-27) — exactly preserved
+        # for dt == dt_ref. Samples SPANNING LONGER intervals (dt-weighted
+        # decimation of merged non-keyframe buffers) carry unmodeled
+        # quadrature error; their noise is inflated by (dt/dt_ref)², which
+        # keeps multi-second merged pairs honestly weak instead of dragging
+        # the window at ~27σ during long hovers.
+        nscale = jnp.maximum(dt / dt_ref, 1.0) ** 2
+        P_new = F @ P @ F.T + nscale * (V @ noise_cov @ V.T)
     else:
         J_new, P_new = J, P
 

@@ -55,9 +55,14 @@ def test_images_to_trajectory():
 
     tracker = fe.FeatureTracker(cam, fe.TrackerParams(
         max_features=60, min_dist=10, equalize=False))
+    # zupt=False: this synthetic IMU stream is exactly noise-free and the
+    # motion is constant-velocity — indistinguishable from rest by an IMU
+    # (a physical impossibility with real sensors, which the ZUPT detector's
+    # thresholds assume)
     est = VioEstimator(WindowConfig(window=10, max_feats=96, iters=8),
                        init_state={"p": np.zeros(3),
-                                   "q": np.array([1.0, 0, 0, 0]), "v": v})
+                                   "q": np.array([1.0, 0, 0, 0]), "v": v},
+                       zupt=False)
     res = run_from_images(est, tracker, images, frames_t,
                           t_imu, acc, gyr, gt=traj)
     assert res.diag.failures == 0
