@@ -43,10 +43,11 @@ PATCH_HALF = 12
 
 @functools.lru_cache(maxsize=1)
 def _brief_pattern(bits: int = BRIEF_BITS, half: int = PATCH_HALF):
+    # cached as NUMPY so a call inside a jit trace cannot leak tracers
     rng = np.random.default_rng(12345)
     a = rng.normal(scale=half / 2.5, size=(bits, 2)).clip(-half, half)
     b = rng.normal(scale=half / 2.5, size=(bits, 2)).clip(-half, half)
-    return jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32)
+    return a.astype(np.float32), b.astype(np.float32)
 
 
 @jax.jit
@@ -57,7 +58,8 @@ def brief_descriptors(img: jax.Array, pts: jax.Array) -> jax.Array:
     (keyframe.cpp:87+); smoothing via the pyramid blur."""
     from anticipated_vins_mono_tpu.models.frontend import _bilinear, _blur3
     sm = _blur3(_blur3(img))
-    pa, pb = _brief_pattern()
+    pa_np, pb_np = _brief_pattern()
+    pa, pb = jnp.asarray(pa_np), jnp.asarray(pb_np)
 
     def one(p):
         va = _bilinear(sm, p[None, :] + pa)
@@ -82,6 +84,57 @@ def global_descriptor(descs: jax.Array, valid: jax.Array) -> jax.Array:
     tot = jnp.maximum(jnp.sum(valid), 1.0)
     v = cnt / tot
     return v / jnp.maximum(jnp.linalg.norm(v), 1e-9)
+
+
+def find_connection(desc_old: jax.Array, kps_old_3d: np.ndarray,
+                    desc_new: jax.Array, kps_new_uv: np.ndarray,
+                    max_hamming: int = 80, min_inliers: int = 25,
+                    reproj_thresh: float = 10.0 / 460.0):
+    """Geometric loop verification — KeyFrame::findConnection parity
+    (keyframe.cpp:259-430): BRIEF Hamming matching (< 80, :200-230) between
+    the old keyframe's features (with 3-D positions) and the candidate
+    frame's features (normalized 2-D), then PnP with inlier gating at
+    MIN_LOOP_NUM=25 (keyframe.h:15).
+
+    Returns (R_cw, p_wc, n_inliers) of the NEW camera in the OLD frame's
+    world, or None if the connection fails verification.
+    """
+    from anticipated_vins_mono_tpu.models.initialization import pnp_gn
+    ham = np.asarray(hamming_match(desc_old, desc_new))
+    best = ham.argmin(axis=1)
+    dist = ham[np.arange(len(best)), best]
+    ok = dist <= max_hamming
+    if ok.sum() < min_inliers:
+        return None
+    X = kps_old_3d[ok]
+    uv = kps_new_uv[best[ok]]
+    # PnP RANSAC (keyframe.cpp PnPRANSAC): minimal GN fits on random
+    # 6-subsets, keep the largest reprojection-inlier set, refit on it
+    rng = np.random.default_rng(0)
+    n = len(X)
+
+    def reproj_err(R, p):
+        Pc = (X - p) @ R.T
+        z = np.maximum(Pc[:, 2], 1e-6)
+        return np.linalg.norm(Pc[:, :2] / z[:, None] - uv, axis=1)
+
+    best_inl = np.zeros(n, bool)
+    for _ in range(30):
+        idx = rng.choice(n, 6, replace=False)
+        try:
+            R, p = pnp_gn(X[idx], uv[idx], np.eye(3), np.zeros(3), iters=10)
+        except np.linalg.LinAlgError:
+            continue
+        inl = reproj_err(R, p) < reproj_thresh
+        if inl.sum() > best_inl.sum():
+            best_inl = inl
+    if best_inl.sum() < min_inliers:
+        return None
+    R, p = pnp_gn(X[best_inl], uv[best_inl], np.eye(3), np.zeros(3), iters=15)
+    inl = reproj_err(R, p) < reproj_thresh
+    if inl.sum() < min_inliers:
+        return None
+    return R, p, int(inl.sum())
 
 
 # ----------------------------------------------------------------------------

@@ -93,3 +93,82 @@ def test_similarity_loop_detection():
     # revisit place 2 → loop should fire
     loop = graph.add_keyframe(np.array([2.1, 0, 0.0]), q, gdesc=descs[2])
     assert loop == 2
+
+
+def test_find_connection_on_rendered_revisit():
+    """Full loop verification chain on imagery: BRIEF at corners of a
+    rendered scene, Hamming matching against a revisit view, PnP recovery of
+    the revisit camera pose (findConnection parity, keyframe.cpp:259-430)."""
+    import jax.numpy as jnp2
+    from anticipated_vins_mono_tpu.models import frontend as fe
+    from anticipated_vins_mono_tpu.ops import cameras
+
+    rng = np.random.default_rng(0)
+    cam = cameras.PinholeCamera.create(120.0, 120.0, 80.0, 60.0,
+                                       width=160, height=120)
+    tex = np.kron(rng.random((80, 80)), np.ones((3, 3)))
+    z_plane = 6.0
+
+    def render(p_cam, R_cw):
+        H, W = 120, 160
+        yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+        rays = np.asarray(cameras.lift_projective(
+            cam, jnp2.asarray(np.stack([xx, yy], -1).reshape(-1, 2),
+                              jnp2.float32)))
+        d_w = rays @ R_cw   # R_cw: world->cam; rays cam->world via R^T
+        lam = (z_plane - p_cam[2]) / np.maximum(d_w[:, 2], 1e-6)
+        X = p_cam[None] + lam[:, None] * d_w
+        ui = (X[:, 0] * 14.0) % tex.shape[1]
+        vi = (X[:, 1] * 14.0) % tex.shape[0]
+        vals = np.asarray(fe._bilinear(
+            jnp2.asarray(tex, jnp2.float32),
+            jnp2.asarray(np.stack([ui, vi], -1), jnp2.float32)))
+        return vals.reshape(H, W)
+
+    # old keyframe at origin, revisit slightly displaced + yawed
+    p_old = np.zeros(3)
+    R_old = np.eye(3)
+    img_old = render(p_old, R_old)
+    uv_o, score, valid = fe.detect_features(
+        jnp2.asarray(img_old, jnp2.float32),
+        jnp2.zeros((120, 160), jnp2.float32), 60, min_dist=8)
+    uv_o = np.asarray(uv_o)[np.asarray(valid)]
+    d_old = pg.brief_descriptors(jnp2.asarray(img_old, jnp2.float32),
+                                 jnp2.asarray(uv_o, jnp2.float32))
+    # 3-D of old keypoints from the known plane geometry
+    rays_o = np.asarray(cameras.lift_projective(cam, jnp2.asarray(uv_o)))
+    lam = z_plane / rays_o[:, 2]
+    X_old = p_old + rays_o * lam[:, None]
+
+    dyaw = np.radians(6.0)
+    Rz = np.array([[np.cos(dyaw), -np.sin(dyaw), 0],
+                   [np.sin(dyaw), np.cos(dyaw), 0], [0, 0, 1.0]])
+    p_new = np.array([0.25, -0.1, 0.0])
+    R_new = Rz  # world->cam
+    img_new = render(p_new, R_new)
+    uv_n, score_n, valid_n = fe.detect_features(
+        jnp2.asarray(img_new, jnp2.float32),
+        jnp2.zeros((120, 160), jnp2.float32), 60, min_dist=8)
+    uv_n = np.asarray(uv_n)[np.asarray(valid_n)]
+    d_new = pg.brief_descriptors(jnp2.asarray(img_new, jnp2.float32),
+                                 jnp2.asarray(uv_n, jnp2.float32))
+    kps_new = np.asarray(cameras.lift_projective(cam, jnp2.asarray(uv_n)))[:, :2]
+
+    got = pg.find_connection(d_old, X_old, d_new, kps_new,
+                             min_inliers=15, reproj_thresh=4.0 / 120.0)
+    assert got is not None
+    R_est, p_est, n_inl = got
+    assert n_inl >= 15
+    np.testing.assert_allclose(p_est, p_new, atol=0.15)
+    ang = np.degrees(np.arccos(np.clip((np.trace(R_est @ R_new.T) - 1) / 2, -1, 1)))
+    assert ang < 3.0, ang
+
+
+def test_find_connection_rejects_unrelated():
+    import jax.numpy as jnp2
+    rng = np.random.default_rng(5)
+    d1 = jnp2.asarray(rng.random((40, pg.BRIEF_BITS)) > 0.5)
+    d2 = jnp2.asarray(rng.random((40, pg.BRIEF_BITS)) > 0.5)
+    X = rng.normal(size=(40, 3)) + [0, 0, 6]
+    uv = rng.normal(size=(40, 2)) * 0.2
+    assert pg.find_connection(d1, X, d2, uv) is None
