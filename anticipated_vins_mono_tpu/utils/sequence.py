@@ -42,6 +42,12 @@ class SequenceSimulator:
     fov_y: float = 0.42
     depth_range: tuple = (0.8, 40.0)
     pixel_noise: float = 0.0        # std in pixels (÷460 internally)
+    # per-landmark tracking quality → emitted as the prob channel (the
+    # GFTT-score channel of the reference tracker) and, when
+    # track_loss_rate > 0, features stochastically drop with rate
+    # loss_rate·(1−quality) per frame — making selection policies that use
+    # p_ℓ (quality / anticipate) meaningfully different from random
+    track_loss_rate: float = 0.0
     tic: np.ndarray | None = None
     qic: np.ndarray | None = None
 
@@ -50,6 +56,7 @@ class SequenceSimulator:
         t = self.traj
         lo, hi = t.p.min(0) - 4.0, t.p.max(0) + 4.0
         self.landmarks = rng.uniform(lo, hi, size=(self.n_landmarks, 3))
+        self.lm_quality = rng.beta(5.0, 2.0, size=self.n_landmarks)
         self.rng = rng
         self.tracked: dict = {}
         # landmark-idx → feature id; ids are MONOTONICALLY increasing like
@@ -90,6 +97,10 @@ class SequenceSimulator:
             vis_ids = set(np.nonzero(ok)[0].tolist())
 
             kept = {i for i in self.tracked if i in vis_ids}
+            if self.track_loss_rate > 0:
+                kept = {i for i in kept
+                        if self.rng.random() >=
+                        self.track_loss_rate * (1.0 - self.lm_quality[i])}
             budget = self.max_features - len(kept)
             if budget > 0:
                 fresh = list(vis_ids - kept)
@@ -109,7 +120,7 @@ class SequenceSimulator:
                     pt[:2] += self.rng.normal(size=2) * self.pixel_noise / 460.0
                 prev = self._prev_pts.get(i)
                 vel = (pt[:2] - prev[:2]) / dt_f if prev is not None else np.zeros(2)
-                feats[self._id_of[i]] = (pt, vel, 1.0)
+                feats[self._id_of[i]] = (pt, vel, float(self.lm_quality[i]))
             self._prev_pts = {i: pts[i].copy() for i in kept}
 
             s = max(k - stride, 0)

@@ -87,3 +87,36 @@ def test_pipeline_with_selector(budget):
     # but must sit far below the simulator's 80 available features
     assert newest_obs <= 55, newest_obs
     assert newest_obs >= 10  # and the selector isn't starving the backend
+
+
+def test_policy_separation_with_track_loss():
+    """With heterogeneous tracking quality + stochastic track loss, the
+    probability-aware policies must keep features that live longer than
+    random selection does (the premise of the reference's experiment)."""
+    traj = analytic_trajectory(6.0)
+    from anticipated_vins_mono_tpu.models.anticipation import SelectorConfig
+
+    lifetimes = {}
+    for policy in ("quality", "random"):
+        sim = SequenceSimulator(traj, seed=3, pixel_noise=0.5,
+                                max_features=90, track_loss_rate=0.6)
+        scfg = SelectorConfig(horizon=10, max_features=25, init_threshold=0)
+        sel = AttentionSelector(scfg, max_candidates=96, policy=policy, seed=0)
+        est = VioEstimator(
+            WindowConfig(window=10, max_feats=128, iters=8),
+            init_state={"p": traj.p[0], "q": traj.q[0], "v": traj.v[0]},
+            selector=sel)
+        born = {}
+        ages = []
+        for i, fm in enumerate(sim.frames(55)):
+            est.process_frame(fm)
+            if not est.initialized:
+                continue
+            alive = set(int(x) for x in est.db.ids[est.db.ids >= 0])
+            for fid in alive:
+                born.setdefault(fid, i)
+            dead = set(born) - alive
+            for fid in dead:
+                ages.append(i - born.pop(fid))
+        lifetimes[policy] = np.mean(ages) if ages else 0.0
+    assert lifetimes["quality"] > lifetimes["random"], lifetimes
