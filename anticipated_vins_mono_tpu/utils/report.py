@@ -48,11 +48,12 @@ def render_results(grid_path: str = "/root/repo/results/grid.json",
         "",
         "ATE RMSE (SE(3)-aligned), `anticipated_vins_mono_tpu.utils.benchmark`.",
         "",
-        "Notes: MH_05's 7-second pre-takeoff ground stop is the hard cell at "
-        "κ=30 — the accel-bias/tilt direction is unobservable there and only "
-        "~30 features bound it; zero-velocity updates keep it to tens of "
-        "meters where the reference's own κ=30 runs diverged to 10881 m "
-        "(results.tex:49). With no budget the same slice scores 0.32 m.",
+        "Notes: MH_05's 7-second pre-takeoff ground stop makes the "
+        "accel-bias/tilt direction unobservable and was this system's (and "
+        "the reference's — 10881 m divergence, results.tex:49) failure mode "
+        "at κ=30. Two mechanisms fixed it here: zero-velocity updates and "
+        "(dt/dt_ref)² noise inflation for decimated merged IMU pairs — see "
+        "ops/preintegration.py.",
         "TUM-format trajectories for external `evo` evaluation are written "
         "next to the grid in `results/`.",
     ]
