@@ -17,6 +17,14 @@ import json
 import time
 
 import jax
+
+# persistent compilation cache: the remote-tunnel TPU compile of the solver
+# takes minutes; cache it across processes
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+except Exception:
+    pass
 import jax.numpy as jnp
 import jax.tree_util as jtu
 
