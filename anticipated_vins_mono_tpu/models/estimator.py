@@ -68,17 +68,12 @@ def _np_quat_rot(q):
         [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)]])
 
 
-def _merge_imu_pairs(a: dict, b: dict) -> dict:
-    """Concatenate two raw-IMU pair buffers (non-keyframe slide merges the
-    dropped interval into its successor, reference slideWindowNew +
-    IntegrationBase::push_back). If the result overflows the static pad,
-    adjacent samples are fused (dt-summed, dt-weighted averaged) — only long
-    stationary/non-keyframe streaks ever hit this, where the coarser
-    quadrature is harmless."""
-    dts = np.concatenate([a["dts"], b["dts"]])
-    acc = np.concatenate([a["acc"], b["acc"]])
-    gyr = np.concatenate([a["gyr"], b["gyr"]])
-    while len(dts) > MAX_IMU_PER_PAIR:
+def _fuse_to_cap(dts, acc, gyr, cap: int = MAX_IMU_PER_PAIR):
+    """Fuse adjacent IMU samples (dt-summed, dt-weighted averaged) until the
+    buffer fits the static pad. Only long stationary/non-keyframe streaks or
+    IMU-rate spikes ever hit this, where the coarser quadrature is harmless
+    (noise is inflated by (dt/dt_ref)^2 at preintegration time)."""
+    while len(dts) > cap:
         n = len(dts) // 2 * 2
         d2 = dts[:n].reshape(-1, 2)
         w = d2 / np.maximum(d2.sum(1, keepdims=True), 1e-12)
@@ -87,6 +82,17 @@ def _merge_imu_pairs(a: dict, b: dict) -> dict:
         dts = np.concatenate([d2.sum(1), dts[n:]])
         acc = np.concatenate([acc2, acc[n:]])
         gyr = np.concatenate([gyr2, gyr[n:]])
+    return dts, acc, gyr
+
+
+def _merge_imu_pairs(a: dict, b: dict) -> dict:
+    """Concatenate two raw-IMU pair buffers (non-keyframe slide merges the
+    dropped interval into its successor, reference slideWindowNew +
+    IntegrationBase::push_back), fusing down to the static pad on overflow."""
+    dts, acc, gyr = _fuse_to_cap(
+        np.concatenate([a["dts"], b["dts"]]),
+        np.concatenate([a["acc"], b["acc"]]),
+        np.concatenate([a["gyr"], b["gyr"]]))
     return {"dts": dts, "acc": acc, "gyr": gyr,
             "acc0": a["acc0"], "gyr0": a["gyr0"]}
 
@@ -243,7 +249,11 @@ class VioEstimator:
 
         feats = fm.feats
         if self.selector is not None and len(fm.imu_acc):
+            # "t" enables the ground-truth horizon mode (use_ground_truth_hgen,
+            # horizon_generator.cpp:73-123): the selector's gt_provider is
+            # queried at the current frame time
             state_k1 = {
+                "t": fm.t,
                 "p": self.p[k], "q": self.q[k], "v": self.v[k],
                 "ba": self.ba[k], "bg": self.bg[k],
                 "acc": np.asarray(fm.imu_acc[-1], float),
@@ -300,10 +310,6 @@ class VioEstimator:
         # only solved landmarks participate in the BA
         meas = meas._replace(feat_valid=meas.feat_valid *
                              jnp.asarray(self.db.solved, self.dtype))
-
-        p0_before = self.p[0].copy()
-        yaw0_before = float(np.asarray(lie.rot_to_ypr(
-            lie.quat_to_rot(jnp.asarray(self.q[0]))))[0])
 
         relo_active = False
         if self.pending_relo is not None:
@@ -510,8 +516,15 @@ class VioEstimator:
         g0 = np.zeros((W, 3))
         for i in range(W):
             pair = self.imu_pairs[i]
+            if len(pair["dts"]) > S:
+                # graceful degradation instead of a hard assert: fuse down
+                # to the pad (the reference's unbounded std::vector never
+                # overflows; our static shape must not kill a run either)
+                pd, pa, pg = _fuse_to_cap(pair["dts"], pair["acc"],
+                                          pair["gyr"])
+                pair = dict(pair, dts=pd, acc=pa, gyr=pg)
+                self.imu_pairs[i] = pair
             n = len(pair["dts"])
-            assert n <= S, "raise MAX_IMU_PER_PAIR"
             dts[i, :n] = pair["dts"]
             acc[i, :n] = pair["acc"]
             gyr[i, :n] = pair["gyr"]
@@ -551,18 +564,6 @@ class VioEstimator:
         self.qic = np.array(st.qic)
         self.td = float(st.td)
         self.db.inv_depth = np.asarray(st.inv_depth).copy()
-
-    def _yaw_reanchor(self, p0_before, yaw0_before):
-        """Rigidly rotate/translate the window so frame 0 keeps its pre-solve
-        position and yaw (double2vector, estimator.cpp:521-568)."""
-        yaw0_after = float(np.asarray(lie.rot_to_ypr(
-            lie.quat_to_rot(jnp.asarray(self.q[0]))))[0])
-        dyaw = yaw0_before - yaw0_after
-        Rz = np.asarray(lie.ypr_to_rot(jnp.asarray([dyaw, 0.0, 0.0])))
-        qz = np.asarray(lie.rot_to_quat(jnp.asarray(Rz)))
-        self.p = (self.p - self.p[0]) @ Rz.T + p0_before
-        self.q = np.array(lie.quat_mul(jnp.asarray(qz), jnp.asarray(self.q)))
-        self.v = self.v @ Rz.T
 
     def _shift_state(self, drop: int):
         for arr in (self.p, self.q, self.v, self.ba, self.bg):

@@ -37,13 +37,62 @@ from anticipated_vins_mono_tpu.ops import cameras
 
 
 def equalize(img: jax.Array, bins: int = 64) -> jax.Array:
-    """Global histogram equalization (stand-in for the reference's CLAHE
-    clipLimit=3.0, 8x8 tiles; feature_tracker.cpp:36-40)."""
+    """Global histogram equalization (cheap fallback; the tracker default is
+    `clahe` below, matching the reference)."""
     flat = img.reshape(-1)
     hist = jnp.histogram(flat, bins=bins, range=(0.0, 1.0))[0]
     cdf = jnp.cumsum(hist) / flat.size
     idx = jnp.clip((img * bins).astype(jnp.int32), 0, bins - 1)
     return cdf[idx]
+
+
+@functools.partial(jax.jit, static_argnames=("clip_limit", "tiles", "bins"))
+def clahe(img: jax.Array, clip_limit: float = 3.0, tiles: int = 8,
+          bins: int = 256) -> jax.Array:
+    """Contrast-limited adaptive histogram equalization.
+
+    Parity with the reference's cv::createCLAHE(3.0, cv::Size(8, 8))
+    (feature_tracker.cpp:36-40): per-tile clipped histograms with excess
+    redistribution, then bilinear interpolation of the 4 neighboring tile
+    mappings per pixel. TPU-first: the per-tile histograms are a vmapped
+    bincount, the mapping lookup is 4 gathers + a blend — no data-dependent
+    control flow.
+    """
+    H, W = img.shape
+    ty, tx = -(-H // tiles), -(-W // tiles)          # ceil tile size
+    pad_y, pad_x = ty * tiles - H, tx * tiles - W
+    imp = jnp.pad(img, ((0, pad_y), (0, pad_x)), mode="edge")
+
+    idx = jnp.clip((imp * bins).astype(jnp.int32), 0, bins - 1)
+    tiles_idx = idx.reshape(tiles, ty, tiles, tx).transpose(0, 2, 1, 3)
+    tiles_idx = tiles_idx.reshape(tiles * tiles, ty * tx)
+    hists = jax.vmap(lambda v: jnp.bincount(v, length=bins))(tiles_idx)
+
+    npix = ty * tx
+    limit = jnp.maximum(clip_limit * npix / bins, 1.0)
+    excess = jnp.sum(jnp.maximum(hists - limit, 0.0), axis=1, keepdims=True)
+    hists = jnp.minimum(hists, limit) + excess / bins
+    luts = jnp.cumsum(hists, axis=1) / npix              # [T*T, bins]
+    luts = luts.reshape(tiles, tiles, bins)
+
+    Hp, Wp = imp.shape
+    yy = jnp.arange(Hp, dtype=img.dtype)
+    xx = jnp.arange(Wp, dtype=img.dtype)
+    fy = jnp.clip((yy + 0.5) / ty - 0.5, 0.0, tiles - 1.0)
+    fx = jnp.clip((xx + 0.5) / tx - 0.5, 0.0, tiles - 1.0)
+    y0 = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, tiles - 2)
+    x0 = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, tiles - 2)
+    wy = (fy - y0)[:, None]
+    wx = (fx - x0)[None, :]
+    Y0 = jnp.broadcast_to(y0[:, None], (Hp, Wp))
+    X0 = jnp.broadcast_to(x0[None, :], (Hp, Wp))
+    v00 = luts[Y0, X0, idx]
+    v01 = luts[Y0, X0 + 1, idx]
+    v10 = luts[Y0 + 1, X0, idx]
+    v11 = luts[Y0 + 1, X0 + 1, idx]
+    out = (v00 * (1 - wy) * (1 - wx) + v01 * (1 - wy) * wx
+           + v10 * wy * (1 - wx) + v11 * wy * wx)
+    return out[:H, :W]
 
 
 def _blur3(img: jax.Array) -> jax.Array:
@@ -241,7 +290,8 @@ class FeatureTracker:
         p = self.p
         img = jnp.asarray(img, jnp.float32)
         if p.equalize:
-            img = equalize(img)
+            # tiled CLAHE, clipLimit 3.0, 8×8 (feature_tracker.cpp:36-40)
+            img = clahe(img)
         pyr = tuple(build_pyramid(img, p.levels))
 
         N = p.max_features

@@ -178,11 +178,14 @@ def pgo_solve(pos: jax.Array, yaw: jax.Array, pitch_roll: jax.Array,
               seq_yaw: jax.Array, seq_valid: jax.Array,
               loop_i: jax.Array, loop_j: jax.Array, loop_t: jax.Array,
               loop_yaw: jax.Array, loop_valid: jax.Array,
-              cfg: PGOConfig):
+              cfg: PGOConfig, gauge: jax.Array | None = None):
     """Masked Gauss-Newton over (x,y,z,yaw) per keyframe.
 
-    The earliest valid keyframe is gauge-fixed (the reference sets the
-    first/earliest-loop keyframe constant, pose_graph.cpp:455-460).
+    `gauge` [K] marks keyframes held constant; when None, the earliest valid
+    keyframe is gauge-fixed (the reference sets the first/earliest-loop
+    keyframe constant, pose_graph.cpp:455-460). Callers with multiple
+    disconnected sequences pass a gauge pinning each unanchored sequence
+    head (pose_graph_node.cpp:69-113 new-sequence semantics).
     Returns (pos, yaw) optimized.
     """
     K = cfg.max_kf
@@ -238,7 +241,10 @@ def pgo_solve(pos: jax.Array, yaw: jax.Array, pitch_roll: jax.Array,
 
         # gauge: pin the earliest valid keyframe; freeze invalid slots
         freeze = 1.0 - kf_valid                              # [K]
-        freeze = freeze.at[first].set(1.0)
+        if gauge is None:
+            freeze = freeze.at[first].set(1.0)
+        else:
+            freeze = jnp.maximum(freeze, gauge)
         fmask = jnp.repeat(freeze, 4)
         H = H * (1 - fmask[:, None]) * (1 - fmask[None, :]) + jnp.diag(fmask)
         g = g * (1 - fmask)
@@ -260,10 +266,23 @@ def pgo_solve(pos: jax.Array, yaw: jax.Array, pitch_roll: jax.Array,
 # ----------------------------------------------------------------------------
 
 
+MAX_SEQUENCES = 5   # reference cap (pose_graph_node.cpp:69-91)
+
+
 class PoseGraph:
     """Keyframe DB, similarity-based loop detection, 4-DoF optimization,
     drift correction — the pose_graph node's process/optimize4DoF loops
-    (pose_graph_node.cpp:294-452, pose_graph.cpp:403-560) without ROS."""
+    (pose_graph_node.cpp:294-452, pose_graph.cpp:403-560) without ROS.
+
+    Storage GROWS (capacity doubling) past cfg.max_kf/max_loops — the
+    reference's unbounded std::list never drops keyframes, so neither do we;
+    the jitted solver recompiles only at power-of-two capacity steps.
+
+    Image-stream discontinuities (>1 s gap or time reversal) open a new
+    sequence (new_sequence, pose_graph_node.cpp:93-113, max 5): sequential
+    edges never span sequences, and a loop edge landing across sequences
+    rigidly re-aligns the newer sequence onto the older one first
+    (w_r_vio/w_t_vio, pose_graph.cpp:46-57)."""
 
     def __init__(self, cfg: PGOConfig = PGOConfig(),
                  sim_thresh: float = 0.9, exclude_recent: int = 50,
@@ -278,6 +297,7 @@ class PoseGraph:
         self.yaw = np.zeros(K)
         self.pitch_roll = np.zeros((K, 2))
         self.gdesc = np.zeros((K, BRIEF_BITS))
+        self.seq_id = np.zeros(K, np.int32)   # sequence index per keyframe
         self.seq_i = np.zeros(K * cfg.seq_links, np.int32)
         self.seq_j = np.zeros(K * cfg.seq_links, np.int32)
         self.seq_t = np.zeros((K * cfg.seq_links, 3))
@@ -293,32 +313,77 @@ class PoseGraph:
         self.t_drift = np.zeros(3)
         self.yaw_drift = 0.0
         self._last_opt_loops = 0
+        self.cur_sequence = 0
+        self.prev_t: Optional[float] = None
+
+    # ------------------------------------------------------------------
+    # capacity growth (unbounded-keyframe parity with the reference)
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _grown(arr: np.ndarray, new_len: int) -> np.ndarray:
+        out = np.zeros((new_len,) + arr.shape[1:], arr.dtype)
+        out[: len(arr)] = arr
+        return out
+
+    def _ensure_capacity(self):
+        cfg = self.cfg
+        if self.n >= cfg.max_kf:
+            K2 = cfg.max_kf * 2
+            for name in ("pos", "yaw", "pitch_roll", "gdesc", "seq_id"):
+                setattr(self, name, self._grown(getattr(self, name), K2))
+            for name in ("seq_i", "seq_j", "seq_t", "seq_yaw", "seq_valid"):
+                setattr(self, name,
+                        self._grown(getattr(self, name), K2 * cfg.seq_links))
+            self.cfg = cfg = cfg._replace(max_kf=K2)
+        if self.n_loops >= cfg.max_loops:
+            L2 = cfg.max_loops * 2
+            for name in ("loop_i", "loop_j", "loop_t", "loop_yaw",
+                         "loop_valid"):
+                setattr(self, name, self._grown(getattr(self, name), L2))
+            self.cfg = cfg._replace(max_loops=L2)
+
+    def new_sequence(self):
+        """Open a new sequence (restart / stream discontinuity). Beyond the
+        reference's 5-sequence cap, data keeps joining the last sequence
+        (graceful, vs the reference's hard warning)."""
+        if self.cur_sequence + 1 < MAX_SEQUENCES:
+            self.cur_sequence += 1
 
     # ------------------------------------------------------------------
 
     def add_keyframe(self, p, q, gdesc: Optional[np.ndarray] = None,
-                     loop_hint: Optional[tuple] = None) -> Optional[int]:
+                     loop_hint: Optional[tuple] = None,
+                     t: Optional[float] = None) -> Optional[int]:
         """Insert a keyframe (VIO pose). Returns detected loop index or None.
 
         `loop_hint` (idx, rel_t, rel_yaw) injects a verified loop edge (the
         geometric-verification stage needs images; callers with imagery use
-        brief_descriptors + hamming_match + PnP for that part)."""
+        brief_descriptors + hamming_match + PnP for that part).
+        `t` enables discontinuity detection (>1 s gap / time reversal →
+        new sequence, pose_graph_node.cpp:93-113)."""
+        self._ensure_capacity()
         cfg = self.cfg
-        if self.n >= cfg.max_kf:
-            return None
+        if t is not None and self.prev_t is not None and \
+                (t - self.prev_t > 1.0 or t < self.prev_t):
+            self.new_sequence()
+        if t is not None:
+            self.prev_t = t
         k = self.n
         ypr = np.asarray(lie.rot_to_ypr(lie.quat_to_rot(jnp.asarray(q))))
         self.pos[k] = p
         self.yaw[k] = ypr[0]
         self.pitch_roll[k] = ypr[1:3]
+        self.seq_id[k] = self.cur_sequence
         if gdesc is not None:
             self.gdesc[k] = gdesc
         self.n += 1
 
-        # sequential edges to up to seq_links predecessors (:461-490)
+        # sequential edges to up to seq_links predecessors (:461-490),
+        # never across a sequence boundary
         for back in range(1, cfg.seq_links + 1):
             i = k - back
-            if i < 0:
+            if i < 0 or self.seq_id[i] != self.seq_id[k]:
                 break
             e = self.n_seq
             R_i = np.asarray(_yaw_rot(jnp.asarray(self.yaw[i]),
@@ -340,7 +405,7 @@ class PoseGraph:
             if len(sims) and sims.max() > self.sim_thresh:
                 loop = int(np.argmax(sims))
                 rel_t = None
-        if loop is not None and self.n_loops < cfg.max_loops:
+        if loop is not None:
             e = self.n_loops
             if loop_hint is None:
                 # fall back to current relative estimate (callers with
@@ -350,6 +415,8 @@ class PoseGraph:
                                           jnp.asarray(self.pitch_roll[loop, 1])))
                 rel_t = R_i.T @ (self.pos[k] - self.pos[loop])
                 rel_yaw = self.yaw[k] - self.yaw[loop]
+            if self.seq_id[loop] != self.seq_id[k]:
+                self._align_sequence_to_loop(loop, k, rel_t, rel_yaw)
             self.loop_i[e] = loop
             self.loop_j[e] = k
             self.loop_t[e] = rel_t
@@ -357,6 +424,44 @@ class PoseGraph:
             self.loop_valid[e] = 1.0
             self.n_loops += 1
         return loop
+
+    def _align_sequence_to_loop(self, i: int, j: int, rel_t, rel_yaw):
+        """First loop between sequences: rigidly shift keyframe j's whole
+        sequence so the loop edge is satisfied (w_r_vio/w_t_vio inter-sequence
+        alignment, pose_graph.cpp:46-57)."""
+        R_i = np.asarray(_yaw_rot(jnp.asarray(self.yaw[i]),
+                                  jnp.asarray(self.pitch_roll[i, 0]),
+                                  jnp.asarray(self.pitch_roll[i, 1])))
+        p_target = self.pos[i] + R_i @ np.asarray(rel_t)
+        yaw_target = self.yaw[i] + rel_yaw
+        dyaw = yaw_target - self.yaw[j]
+        Rz = np.asarray(lie.ypr_to_rot(jnp.asarray([dyaw, 0.0, 0.0])))
+        dt = p_target - Rz @ self.pos[j]
+        sel = np.nonzero(self.seq_id[: self.n] == self.seq_id[j])[0]
+        self.pos[sel] = self.pos[sel] @ Rz.T + dt
+        self.yaw[sel] += dyaw
+
+    def _gauge_mask(self) -> np.ndarray:
+        """Pin the head of every sequence not loop-anchored to an earlier
+        one (disconnected blocks would make H singular; the reference keeps
+        them pinned implicitly by optimizing only connected components)."""
+        gauge = np.zeros(self.cfg.max_kf)
+        anchored = {int(self.seq_id[0])} if self.n else set()
+        # propagate anchoring through loop edges (sequences form few groups)
+        for _ in range(MAX_SEQUENCES):
+            for e in range(self.n_loops):
+                si = int(self.seq_id[self.loop_i[e]])
+                sj = int(self.seq_id[self.loop_j[e]])
+                if si in anchored or sj in anchored:
+                    anchored |= {si, sj}
+        seen = set()
+        for k in range(self.n):
+            s = int(self.seq_id[k])
+            if s not in seen:
+                seen.add(s)
+                if s not in anchored or k == 0:
+                    gauge[k] = 1.0
+        return gauge
 
     def optimize(self):
         """Run 4-DoF PGO if there are (new) loop edges; update drift."""
@@ -375,7 +480,8 @@ class PoseGraph:
             jnp.asarray(self.seq_valid),
             jnp.asarray(self.loop_i), jnp.asarray(self.loop_j),
             jnp.asarray(self.loop_t), jnp.asarray(self.loop_yaw),
-            jnp.asarray(self.loop_valid), cfg)
+            jnp.asarray(self.loop_valid), cfg,
+            gauge=jnp.asarray(self._gauge_mask()))
         self.pos = np.array(pos)
         self.yaw = np.array(yaw)
         # drift of the newest keyframe (pose_graph.cpp:561-575)

@@ -100,6 +100,7 @@ def save_posegraph(path: str, graph) -> None:
     np.savez_compressed(
         path, n=np.int64(graph.n), pos=graph.pos, yaw=graph.yaw,
         pitch_roll=graph.pitch_roll, gdesc=graph.gdesc,
+        seq_id=graph.seq_id, cur_sequence=np.int64(graph.cur_sequence),
         seq_i=graph.seq_i, seq_j=graph.seq_j, seq_t=graph.seq_t,
         seq_yaw=graph.seq_yaw, seq_valid=graph.seq_valid,
         n_seq=np.int64(graph.n_seq),
@@ -112,6 +113,15 @@ def save_posegraph(path: str, graph) -> None:
 def load_posegraph(path: str, graph) -> None:
     z = np.load(path)
     graph.n = int(z["n"])
+    # adopt the saved capacity (pose-graph storage grows dynamically)
+    graph.cfg = graph.cfg._replace(max_kf=len(z["pos"]),
+                                   max_loops=len(z["loop_i"]))
+    if "seq_id" in z:
+        graph.seq_id = z["seq_id"].copy()
+        graph.cur_sequence = int(z["cur_sequence"])
+    else:
+        graph.seq_id = np.zeros(len(z["pos"]), np.int32)
+        graph.cur_sequence = 0
     graph.pos = z["pos"].copy()
     graph.yaw = z["yaw"].copy()
     graph.pitch_roll = z["pitch_roll"].copy()

@@ -89,3 +89,31 @@ def test_tracker_tops_up_to_budget():
     out = tracker.process(img, 0.0)
     assert len(out) <= 30
     assert len(out) >= 20
+
+
+def test_clahe_properties():
+    """Tiled CLAHE (feature_tracker.cpp:36-40 parity): local contrast
+    amplification with clip-limited redistribution."""
+    import numpy as np
+    import jax.numpy as jnp
+    from anticipated_vins_mono_tpu.models.frontend import clahe, equalize
+    rng = np.random.default_rng(0)
+    # left half dim (0..0.12), right half bright (0.8..1.0)
+    img = np.zeros((64, 96), np.float32)
+    img[:, :48] = rng.uniform(0.0, 0.12, (64, 48))
+    img[:, 48:] = rng.uniform(0.8, 1.0, (64, 48))
+    out = np.asarray(clahe(jnp.asarray(img), clip_limit=4.0, tiles=4))
+    assert out.shape == img.shape
+    assert np.all(np.isfinite(out)) and out.min() >= 0.0 and out.max() <= 1.0001
+    # each half's local dynamic range must be stretched well beyond input
+    assert out[:, :40].std() > 3.0 * img[:, :40].std()
+    assert out[:, 56:].std() > 3.0 * img[:, 56:].std()
+    # monotone in the clip limit: lower limit → less contrast amplification
+    # (the clipped mass is redistributed uniformly, flattening the mapping)
+    low = np.asarray(clahe(jnp.asarray(img), clip_limit=1.0, tiles=4))
+    assert low[:, :40].std() < 0.5 * out[:, :40].std()
+    assert np.abs(low - img).mean() < np.abs(out - img).mean()
+    # tiles=1 + huge clip limit ≈ global histogram equalization
+    g1 = np.asarray(clahe(jnp.asarray(img), clip_limit=1e9, tiles=1, bins=64))
+    g2 = np.asarray(equalize(jnp.asarray(img), bins=64))
+    assert np.abs(g1 - g2).mean() < 0.03

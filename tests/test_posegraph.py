@@ -172,3 +172,53 @@ def test_find_connection_rejects_unrelated():
     X = rng.normal(size=(40, 3)) + [0, 0, 6]
     uv = rng.normal(size=(40, 2)) * 0.2
     assert pg.find_connection(d1, X, d2, uv) is None
+
+
+def test_capacity_growth_past_static_cap():
+    """Keyframe storage must grow (reference keeps an unbounded list)."""
+    cfg = pg.PGOConfig(max_kf=8, max_loops=2, iters=10)
+    graph = pg.PoseGraph(cfg)
+    q = np.array([1.0, 0, 0, 0])
+    for k in range(25):
+        graph.add_keyframe(np.array([k * 0.1, 0, 0.0]), q, t=float(k))
+    assert graph.n == 25
+    assert graph.cfg.max_kf >= 25
+    # loop-edge capacity also grows
+    for k in range(5):
+        graph.add_keyframe(np.array([0.1, 0, 0.0]), q,
+                           loop_hint=(1, np.zeros(3), 0.0), t=25.0 + k)
+    assert graph.n_loops == 5
+    graph.optimize()   # solver runs at the grown capacity
+    assert np.all(np.isfinite(graph.pos[:graph.n]))
+
+
+def test_sequence_discontinuity_and_alignment():
+    """>1 s stream gap opens a new sequence (pose_graph_node.cpp:93-113);
+    a loop edge across sequences rigidly re-aligns the newer sequence
+    (w_r_vio/w_t_vio, pose_graph.cpp:46-57)."""
+    cfg = pg.PGOConfig(max_kf=64, max_loops=8, iters=15)
+    graph = pg.PoseGraph(cfg)
+    q = np.array([1.0, 0, 0, 0])
+    # sequence 0: walk along +x
+    for k in range(10):
+        graph.add_keyframe(np.array([k * 1.0, 0, 0.0]), q, t=0.1 * k)
+    # discontinuity: 5 s gap → new VIO session restarts near the origin
+    # (its local frame), but physically the robot is back at x=3
+    for k in range(5):
+        graph.add_keyframe(np.array([k * 1.0, 0, 0.0]), q, t=6.0 + 0.1 * k)
+    assert graph.cur_sequence == 1
+    assert graph.seq_id[9] == 0 and graph.seq_id[10] == 1
+    # no sequential edge across the boundary
+    spans = [(graph.seq_i[e], graph.seq_j[e])
+             for e in range(graph.n_seq) if graph.seq_valid[e] > 0]
+    assert all(graph.seq_id[i] == graph.seq_id[j] for i, j in spans)
+    # loop: keyframe 12 (x=2 in seq-1 local frame) is physically at x=5 ==
+    # keyframe 5 of sequence 0 → alignment should shift sequence 1 by +3
+    loop = graph.add_keyframe(np.array([5.0 - 3.0, 0, 0.0]), q,
+                              loop_hint=(5, np.zeros(3), 0.0), t=6.6)
+    assert loop == 5
+    np.testing.assert_allclose(graph.pos[graph.n - 1], [5.0, 0, 0], atol=1e-9)
+    np.testing.assert_allclose(graph.pos[10], [3.0, 0, 0], atol=1e-9)
+    graph.optimize()
+    assert np.all(np.isfinite(graph.pos[:graph.n]))
+    np.testing.assert_allclose(graph.pos[graph.n - 1], [5.0, 0, 0], atol=0.2)
