@@ -165,6 +165,7 @@ class VioEstimator:
         self.n_frames = 0
         self.imu_pairs: list = []   # raw IMU per adjacent pair
         self.stationary = np.zeros(cfg.nf)  # per-frame ZUPT flags
+        self.td_at_frame = np.zeros(cfg.nf)  # td at capture (cur_td parity)
         self.frame_times: list = []
         self.trajectory: list = []  # (t, p, q, v) of the newest frame
         self.diag = EstimatorDiagnostics()
@@ -215,6 +216,7 @@ class VioEstimator:
                 R0 = np.asarray(lie.gravity_to_rot(jnp.asarray(fm.acc0)))
                 self.q[0] = np.asarray(lie.rot_to_quat(jnp.asarray(R0.T)))
             self.db.add_frame(0, fm.feats)
+            self.td_at_frame[0] = self.td
             self.frame_times.append(fm.t)
             self.n_frames = 1
             self._record_output(fm.t, 0)
@@ -262,6 +264,7 @@ class VioEstimator:
             feats = self.selector.select(feats, state_k1, self.db,
                                          initialized=self.initialized)
         keyframe = self.db.add_frame(k, feats)
+        self.td_at_frame[k] = self.td
         self.frame_times.append(fm.t)
         self.n_frames += 1
 
@@ -552,7 +555,9 @@ class VioEstimator:
             feat_valid=jnp.asarray(self.db.feat_valid, d),
             prior=self.prior,
             zupt_w=jnp.asarray(self.stationary * self.zupt_weight, d)
-            if self.zupt else None)
+            if self.zupt else None,
+            td_obs=jnp.asarray(self.td_at_frame, d)
+            if cfg.estimate_td else None)
 
     def _adopt(self, st: WindowState):
         self.p = np.array(st.p)
@@ -569,6 +574,7 @@ class VioEstimator:
         for arr in (self.p, self.q, self.v, self.ba, self.bg):
             arr[drop:-1] = arr[drop + 1:]
         self.stationary[drop:-1] = self.stationary[drop + 1:]
+        self.td_at_frame[drop:-1] = self.td_at_frame[drop + 1:]
 
     def _failure(self, st: WindowState) -> bool:
         """failureDetection (estimator.cpp:612-658)."""

@@ -67,6 +67,7 @@ def clahe(img: jax.Array, clip_limit: float = 3.0, tiles: int = 8,
     tiles_idx = idx.reshape(tiles, ty, tiles, tx).transpose(0, 2, 1, 3)
     tiles_idx = tiles_idx.reshape(tiles * tiles, ty * tx)
     hists = jax.vmap(lambda v: jnp.bincount(v, length=bins))(tiles_idx)
+    hists = hists.astype(img.dtype)   # keep the image dtype under x64
 
     npix = ty * tx
     limit = jnp.maximum(clip_limit * npix / bins, 1.0)

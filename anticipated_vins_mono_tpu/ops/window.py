@@ -52,6 +52,13 @@ class WindowConfig(NamedTuple):
     iters: int = 8              # LM outer iterations
     estimate_extrinsic: bool = True
     estimate_td: bool = False
+    # rolling-shutter compensation (projection_td_factor.cpp:50-52):
+    # per-observation time shift TR/ROW · (row − ROW/2). Rows are recovered
+    # from the normalized y-coordinate (row ≈ fy·y + cy), accurate to a few
+    # pixels for radtan distortion at EuRoC FOV.
+    tr_over_row: float = 0.0       # TR / ROW  [s per pixel row]
+    row_fy: float = 460.0          # fy for row recovery
+    row_c0: float = 8.1            # cy − ROW/2
     cauchy_scale: float = 1.0
     anchor_weight: float = 1e3  # gauge anchor on pose 0 when no prior
     lm_lambda_init: float = 1e-4
@@ -141,6 +148,9 @@ class WindowMeasurements(NamedTuple):
     # MH_05 runs diverge there (results.tex:49). Per-frame sqrt-weights,
     # nonzero only when the IMU stream flags the frame stationary.
     zupt_w: jax.Array = None      # [NF] sqrt-information on v_i ≈ 0
+    # td at each frame's capture (the reference stores td per observation,
+    # feature_manager.h FeaturePerFrame::cur_td); None → zeros
+    td_obs: jax.Array = None      # [NF]
 
 
 # ----------------------------------------------------------------------------
@@ -215,13 +225,18 @@ def _proj_factor_rows(state: WindowState, meas: WindowMeasurements,
     if cfg.estimate_td:
         vel_i = meas.vel[feat, a]
         vel_j = meas.vel[feat, frame]
+        zero = jnp.zeros((), pt_i.dtype)
+        td_i = meas.td_obs[a] if meas.td_obs is not None else zero
+        td_j = meas.td_obs[frame] if meas.td_obs is not None else zero
+        # centered pixel rows from normalized y (projection_td_factor.cpp:18)
+        row_i = cfg.row_fy * pt_i[1] + cfg.row_c0
+        row_j = cfg.row_fy * pt_j[1] + cfg.row_c0
 
         def res_fn(pa, pj, pe, rho, td):
             return factors.projection_td_residual(
                 pa.p, pa.q, pj.p, pj.q, pe.p, pe.q, rho, td,
                 pt_i, pt_j, vel_i, vel_j,
-                jnp.zeros((), pt_i.dtype), jnp.zeros((), pt_i.dtype),
-                jnp.zeros((), pt_i.dtype), jnp.zeros((), pt_i.dtype), 0.0)
+                td_i, td_j, row_i, row_j, cfg.tr_over_row)
 
         res, (J_a, J_j, J_e, J_rho, J_td) = factors.tangent_jacobian(
             res_fn, (pose_a, pose_j, pose_e), (invd, state.td))
@@ -429,10 +444,26 @@ def robust_cost(state: WindowState, meas: WindowMeasurements,
 
     def proj_cost(l, j):
         a = meas.anchor[l]
-        res = factors.projection_residual(
-            state.p[a], state.q[a], state.p[j], state.q[j],
-            state.tic, state.qic, state.inv_depth[l],
-            meas.pts[l, a], meas.pts[l, j])
+        if cfg.estimate_td:
+            # the td/rolling-shutter observation model must match the
+            # linearization's (projection_td_factor.cpp:50-52) — LM accepts
+            # steps against this objective
+            zero = jnp.zeros((), meas.pts.dtype)
+            td_i = meas.td_obs[a] if meas.td_obs is not None else zero
+            td_j = meas.td_obs[j] if meas.td_obs is not None else zero
+            row_i = cfg.row_fy * meas.pts[l, a, 1] + cfg.row_c0
+            row_j = cfg.row_fy * meas.pts[l, j, 1] + cfg.row_c0
+            res = factors.projection_td_residual(
+                state.p[a], state.q[a], state.p[j], state.q[j],
+                state.tic, state.qic, state.inv_depth[l], state.td,
+                meas.pts[l, a], meas.pts[l, j],
+                meas.vel[l, a], meas.vel[l, j],
+                td_i, td_j, row_i, row_j, cfg.tr_over_row)
+        else:
+            res = factors.projection_residual(
+                state.p[a], state.q[a], state.p[j], state.q[j],
+                state.tic, state.qic, state.inv_depth[l],
+                meas.pts[l, a], meas.pts[l, j])
         valid = (meas.mask[l, a] * meas.mask[l, j]
                  * meas.feat_valid[l] * (j != a))
         s2 = jnp.sum(res * res)

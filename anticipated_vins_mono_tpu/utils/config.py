@@ -54,6 +54,8 @@ class EstimatorConfig:
     g_norm: float = 9.81007
     estimate_extrinsic: bool = True   # yaml:22
     estimate_td: bool = False         # yaml:73
+    rolling_shutter: bool = False     # yaml rolling_shutter (parameters.cpp:124)
+    rolling_shutter_tr: float = 0.0   # readout time of one frame [s] (:127)
     keyframe_parallax: float = 10.0   # MIN_PARALLAX px (yaml:52)
     # extrinsic body_T_cam0 (yaml:26-38)
     tic: tuple = (-0.0216, -0.0647, 0.0098)
@@ -94,12 +96,18 @@ class VinsConfig:
     # ------------------------------------------------------------------
 
     def window_config(self) -> WindowConfig:
+        e, c = self.estimator, self.camera
+        tr = e.rolling_shutter_tr if e.rolling_shutter else 0.0
         return WindowConfig(
-            window=self.estimator.window,
-            max_feats=self.estimator.max_feats,
-            iters=self.estimator.max_solver_iterations,
-            estimate_extrinsic=self.estimator.estimate_extrinsic,
-            estimate_td=self.estimator.estimate_td)
+            window=e.window,
+            max_feats=e.max_feats,
+            iters=e.max_solver_iterations,
+            estimate_extrinsic=e.estimate_extrinsic,
+            # rolling shutter needs the td machinery (the shift rides the
+            # same velocity model, projection_td_factor.cpp:50-52)
+            estimate_td=e.estimate_td or e.rolling_shutter,
+            tr_over_row=tr / c.height,
+            row_fy=c.fy, row_c0=c.cy - c.height / 2.0)
 
     def imu_noise(self) -> ImuNoise:
         e = self.estimator

@@ -97,3 +97,31 @@ def test_td_estimation_recovers_offset():
     st, diag = lm_solve(prob.init, meas, cfg)
     assert float(diag["cost"]) < float(diag["cost0"])
     assert abs(float(st.td) - td_true) < 5e-3, float(st.td)
+
+
+def test_rolling_shutter_compensation():
+    """tr_over_row path: observations shifted along their image velocities
+    proportionally to their (row-dependent) readout time must be explained
+    when TR is configured and mis-modeled when it is not
+    (projection_td_factor.cpp:18,50-52)."""
+    tr = 0.03           # 30 ms full-frame readout
+    rows = 480
+    base = dict(window=5, max_feats=48, iters=25, estimate_td=True,
+                row_fy=460.0, row_c0=0.0)
+    cfg_rs = WindowConfig(tr_over_row=tr / rows, **base)
+    cfg_no = WindowConfig(tr_over_row=0.0, **base)
+    prob = make_window_problem(cfg_rs, seed=11, perturb=0.0)
+    rng = np.random.default_rng(1)
+    vel = rng.normal(size=prob.meas.vel.shape) * 0.5
+    pts = np.asarray(prob.meas.pts).copy()
+    # per-observation readout shift: row recovered the same way the factor
+    # does (row = fy·y), so the generated shift is exactly representable
+    row_c = 460.0 * pts[..., 1]
+    pts[..., :2] += vel * (tr / rows * row_c)[..., None]
+    meas = prob.meas._replace(pts=jnp.asarray(pts), vel=jnp.asarray(vel))
+    st_rs, diag_rs = lm_solve(prob.init, meas, cfg_rs)
+    st_no, diag_no = lm_solve(prob.init, meas, cfg_no)
+    # with the right TR the shift is fully explained at td≈0
+    assert abs(float(st_rs.td)) < 5e-3, float(st_rs.td)
+    assert float(diag_rs["cost"]) < 0.3 * float(diag_no["cost"]), (
+        float(diag_rs["cost"]), float(diag_no["cost"]))
