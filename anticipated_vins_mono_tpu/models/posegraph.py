@@ -79,11 +79,45 @@ def hamming_match(desc1: jax.Array, desc2: jax.Array):
 
 def global_descriptor(descs: jax.Array, valid: jax.Array) -> jax.Array:
     """Keyframe-level binary signature: per-bit majority over the frame's
-    feature descriptors → float vector (the BoW-vector stand-in)."""
+    feature descriptors → float vector. Superseded by `bow_descriptor` for
+    place recognition (majority bits compress all same-world frames into a
+    narrow similarity band — measured by utils/placerec_eval); kept for the
+    cheap-similarity use cases."""
     cnt = jnp.sum(descs & valid[:, None].astype(bool), axis=0)
     tot = jnp.maximum(jnp.sum(valid), 1.0)
     v = cnt / tot
     return v / jnp.maximum(jnp.linalg.norm(v), 1e-9)
+
+
+BOW_WORDS = 512
+
+
+@functools.lru_cache(maxsize=1)
+def _bow_vocab(words: int = BOW_WORDS, bits: int = BRIEF_BITS):
+    # cached as NUMPY so a call inside a jit trace cannot leak tracers
+    rng = np.random.default_rng(777)
+    return (rng.random((words, bits)) > 0.5).astype(np.float32)
+
+
+@jax.jit
+def bow_descriptor(descs: jax.Array, valid: jax.Array) -> jax.Array:
+    """DBoW2-style visual-word histogram, TPU-native.
+
+    The reference quantizes BRIEF descriptors down a trained vocabulary tree
+    (TemplatedVocabulary, pose_graph vendored DBoW2) and scores frames by
+    inverted-index similarity. Here: nearest of 512 fixed random binary
+    words by Hamming distance — computed as TWO dense matmuls over the bit
+    matrix (MXU work, no tree walk) — then a sqrt-tf-weighted, L2-normalized
+    histogram compared by cosine. Discrimination measured by
+    utils/placerec_eval (recall/precision vs GT revisits)."""
+    v = jnp.asarray(_bow_vocab())
+    d = descs.astype(jnp.float32)
+    ham = d @ (1.0 - v).T + (1.0 - d) @ v.T          # [N, V] Hamming
+    word = jnp.argmin(ham, axis=1)
+    hist = jnp.zeros(BOW_WORDS, jnp.float32).at[word].add(
+        valid.astype(jnp.float32))
+    hist = jnp.sqrt(hist)
+    return hist / jnp.maximum(jnp.linalg.norm(hist), 1e-9)
 
 
 def find_connection(desc_old: jax.Array, kps_old_3d: np.ndarray,
@@ -96,8 +130,11 @@ def find_connection(desc_old: jax.Array, kps_old_3d: np.ndarray,
     frame's features (normalized 2-D), then PnP with inlier gating at
     MIN_LOOP_NUM=25 (keyframe.h:15).
 
-    Returns (R_cw, p_wc, n_inliers) of the NEW camera in the OLD frame's
-    world, or None if the connection fails verification.
+    Returns (R_cw, p_wc, n_inliers, pairs) of the NEW camera in the OLD
+    frame's world, or None if the connection fails verification. `pairs` is
+    the inlier correspondence list [(row into kps_old_3d, row into
+    kps_new_uv)] — the reference's matched_2d_old/matched_id feedback that
+    becomes relocalization match_points (pose_graph_node.cpp:524-535).
     """
     from anticipated_vins_mono_tpu.models.initialization import pnp_gn
     ham = np.asarray(hamming_match(desc_old, desc_new))
@@ -134,7 +171,9 @@ def find_connection(desc_old: jax.Array, kps_old_3d: np.ndarray,
     inl = reproj_err(R, p) < reproj_thresh
     if inl.sum() < min_inliers:
         return None
-    return R, p, int(inl.sum())
+    rows_old = np.nonzero(ok)[0]
+    pairs = list(zip(rows_old[inl].tolist(), best[ok][inl].tolist()))
+    return R, p, int(inl.sum()), pairs
 
 
 # ----------------------------------------------------------------------------

@@ -532,6 +532,121 @@ def build_normal_equations(r_all, J_all, p_res, p_rows, p_rho, cfg: WindowConfig
     return H, g, H_lp, h_ll, g_l
 
 
+def normal_equations_fast(state: WindowState, meas: WindowMeasurements,
+                          cfg: WindowConfig, anchor_ref=None):
+    """Blockwise normal equations for the LM hot loop.
+
+    `linearize` materializes dense projection rows [F,NF,2,D] (the
+    bandwidth hog of the solve: ~2 MB/scenario/iteration written+read);
+    here H's projection contribution is assembled directly from the 6-dim
+    factor blocks with one-hot anchor einsums — identical math (the outer
+    product of a row whose only nonzero blocks are (anchor, frame, ext, td)
+    expands into block-pair terms), ~20× less HBM traffic. The small row
+    groups (IMU, prior, anchor, ZUPT: ~370 rows) stay dense — they are
+    negligible. Used when no relo frame is attached (the relo pseudo-frame
+    keeps the general path).
+    """
+    F, NF, W, D = cfg.max_feats, cfg.nf, cfg.window, cfg.dim
+    dtype = state.p.dtype
+    f_grid = jnp.arange(F, dtype=jnp.int32)
+    j_grid = jnp.arange(NF, dtype=jnp.int32)
+
+    proj_fn = jax.vmap(jax.vmap(
+        lambda l, j: _proj_factor_rows(state, meas, cfg, l, j),
+        in_axes=(None, 0)), in_axes=(0, None))
+    p_res, (J_a, J_j, J_e, J_td), p_rho, p_w, p_sq = proj_fn(f_grid, j_grid)
+    p_res = p_res * p_w[..., None]
+    wj = p_w[..., None, None]
+    J_a, J_j, J_e = J_a * wj, J_j * wj, J_e * wj
+    J_td = J_td * p_w[..., None]
+    p_rho = p_rho * p_w[..., None]
+
+    A = jax.nn.one_hot(meas.anchor, NF, dtype=dtype)          # [F,NF]
+    # pose-pose block grid [NF,NF,6,6]
+    T_aa = jnp.einsum("fn,fjra,fjrb->nab", A, J_a, J_a)
+    T_jj = jnp.einsum("fjra,fjrb->jab", J_j, J_j)
+    T_aj = jnp.einsum("fn,fjra,fjrb->njab", A, J_a, J_j)
+    eyeNF = jnp.eye(NF, dtype=dtype)
+    H_pp = (eyeNF[:, :, None, None] * (T_aa + T_jj)[:, None]
+            + T_aj + T_aj.transpose(1, 0, 3, 2))
+    H_pp = H_pp.transpose(0, 2, 1, 3).reshape(6 * NF, 6 * NF)
+    # pose-ext / pose-td columns
+    H_pe = (jnp.einsum("fn,fjra,fjrb->nab", A, J_a, J_e)
+            + jnp.einsum("fjra,fjrb->jab", J_j, J_e)).reshape(6 * NF, 6)
+    H_pt = (jnp.einsum("fn,fjra,fjr->na", A, J_a, J_td)
+            + jnp.einsum("fjra,fjr->ja", J_j, J_td)).reshape(6 * NF)
+    H_ee = jnp.einsum("fjra,fjrb->ab", J_e, J_e)
+    H_et = jnp.einsum("fjra,fjr->a", J_e, J_td)
+    H_tt = jnp.einsum("fjr,fjr->", J_td, J_td)
+    g_p = (jnp.einsum("fn,fjra,fjr->na", A, J_a, p_res)
+           + jnp.einsum("fjra,fjr->ja", J_j, p_res)).reshape(6 * NF)
+    g_e = jnp.einsum("fjra,fjr->a", J_e, p_res)
+    g_t = jnp.einsum("fjr,fjr->", J_td, p_res)
+
+    P, E, T = 6 * NF, 15 * NF, 15 * NF + 6
+    H = jnp.zeros((D, D), dtype)
+    H = H.at[:P, :P].set(H_pp)
+    H = H.at[:P, E:E + 6].set(H_pe).at[E:E + 6, :P].set(H_pe.T)
+    H = H.at[:P, T].set(H_pt).at[T, :P].set(H_pt)
+    H = H.at[E:E + 6, E:E + 6].set(H_ee)
+    H = H.at[E:E + 6, T].set(H_et).at[T, E:E + 6].set(H_et)
+    H = H.at[T, T].set(H_tt)
+    g = jnp.zeros(D, dtype)
+    g = g.at[:P].set(g_p).at[E:E + 6].set(g_e).at[T].set(g_t)
+
+    # small dense row groups: IMU + prior + anchor + ZUPT
+    imu_fn = jax.vmap(lambda i: _imu_factor_rows(state, meas, cfg, i))
+    i_res, (J_pi, J_pj, J_si, J_sj), i_w = imu_fn(
+        jnp.arange(W, dtype=jnp.int32))
+    i_res = i_res * i_w[..., None]
+    wi = i_w[..., None, None]
+    J_pi, J_pj, J_si, J_sj = J_pi * wi, J_pj * wi, J_si * wi, J_sj * wi
+    ipose = jnp.einsum("wn,wrc->wrnc", eyeNF[:W], J_pi) + \
+        jnp.einsum("wn,wrc->wrnc", eyeNF[1:W + 1], J_pj)
+    isb = jnp.einsum("wn,wrc->wrnc", eyeNF[:W], J_si) + \
+        jnp.einsum("wn,wrc->wrnc", eyeNF[1:W + 1], J_sj)
+    i_rows = jnp.concatenate(
+        [ipose.reshape(W, 15, 6 * NF), isb.reshape(W, 15, 9 * NF),
+         jnp.zeros((W, 15, 13), dtype)], axis=-1)
+
+    dx_lin = state_boxminus(state, meas.prior.lin, cfg)
+    pr_res = (meas.prior.r0 + meas.prior.J0 @ dx_lin) * meas.prior.weight
+    pr_rows = meas.prior.J0 * meas.prior.weight
+
+    if anchor_ref is None:
+        anchor_ref = (state.p[0], state.q[0])
+    a_res, a_rows = _anchor_rows(state, anchor_ref, cfg, meas.prior.weight)
+
+    extra_res, extra_rows = [], []
+    if meas.zupt_w is not None:
+        z_res = (meas.zupt_w[:, None] * state.v).reshape(-1)
+        zrows = jnp.zeros((NF, 3, D), dtype)
+        for i_f in range(NF):
+            zrows = zrows.at[i_f, :, 6 * NF + 9 * i_f: 6 * NF + 9 * i_f + 3]\
+                .set(jnp.eye(3, dtype=dtype))
+        zrows = zrows * meas.zupt_w[:, None, None]
+        extra_res.append(z_res)
+        extra_rows.append(zrows.reshape(-1, D))
+
+    r_s = jnp.concatenate([i_res.reshape(-1), pr_res, a_res] + extra_res)
+    J_s = jnp.concatenate([i_rows.reshape(-1, D), pr_rows, a_rows]
+                          + extra_rows)
+    H = H + J_s.T @ J_s
+    g = g + J_s.T @ r_s
+
+    # landmark blocks
+    lp_a = jnp.einsum("fn,fa->fna", A, jnp.einsum("fjr,fjra->fa", p_rho, J_a))
+    lp_j = jnp.einsum("fjr,fjra->fja", p_rho, J_j)
+    H_lp = jnp.concatenate(
+        [(lp_a + lp_j).reshape(F, 6 * NF), jnp.zeros((F, 9 * NF), dtype),
+         jnp.einsum("fjr,fjra->fa", p_rho, J_e),
+         jnp.einsum("fjr,fjr->f", p_rho, J_td)[:, None],
+         jnp.zeros((F, 6), dtype)], axis=1)
+    h_ll = jnp.einsum("fjr,fjr->f", p_rho, p_rho)
+    g_l = jnp.einsum("fjr,fjr->f", p_rho, p_res)
+    return H, g, H_lp, h_ll, g_l
+
+
 def schur_solve(H, g, H_lp, h_ll, g_l, lam, cfg: WindowConfig):
     """Damped Schur-reduced solve.
 
@@ -579,10 +694,14 @@ def lm_solve(state: WindowState, meas: WindowMeasurements, cfg: WindowConfig):
 
     def body(_, carry):
         st, lam, cost = carry
-        r_all, J_all, p_res, p_rows, p_rho, p_sq = linearize(
-            st, meas, cfg, anchor_ref)
-        H, g, H_lp, h_ll, g_l = build_normal_equations(
-            r_all, J_all, p_res, p_rows, p_rho, cfg)
+        if meas.relo_pts is None:
+            H, g, H_lp, h_ll, g_l = normal_equations_fast(
+                st, meas, cfg, anchor_ref)
+        else:
+            r_all, J_all, p_res, p_rows, p_rho, p_sq = linearize(
+                st, meas, cfg, anchor_ref)
+            H, g, H_lp, h_ll, g_l = build_normal_equations(
+                r_all, J_all, p_res, p_rows, p_rho, cfg)
         dx, d_rho, pred = schur_solve(H, g, H_lp, h_ll, g_l, lam, cfg)
         cand = retract(st, dx, d_rho, cfg)
         new_cost = robust_cost(cand, meas, cfg, anchor_ref)

@@ -48,6 +48,13 @@ class SequenceSimulator:
     # loss_rate·(1−quality) per frame — making selection policies that use
     # p_ℓ (quality / anticipate) meaningfully different from random
     track_loss_rate: float = 0.0
+    # "spatial": quality varies smoothly over the world (real GFTT scores
+    # are spatially correlated — corner-rich texture patches score high
+    # together), so a pure top-κ-by-score policy concentrates its budget in
+    # clusters with degenerate geometry at small κ, exactly the regime where
+    # the reference's Quality variant diverges (results.tex:41-43).
+    # "iid": quality independent per landmark.
+    quality_mode: str = "spatial"
     tic: np.ndarray | None = None
     qic: np.ndarray | None = None
 
@@ -56,7 +63,20 @@ class SequenceSimulator:
         t = self.traj
         lo, hi = t.p.min(0) - 4.0, t.p.max(0) + 4.0
         self.landmarks = rng.uniform(lo, hi, size=(self.n_landmarks, 3))
-        self.lm_quality = rng.beta(5.0, 2.0, size=self.n_landmarks)
+        marginal = np.sort(rng.beta(5.0, 2.0, size=self.n_landmarks))
+        if self.quality_mode == "spatial":
+            # smooth random field over position; rank-map onto the same
+            # beta(5,2) marginal so only the spatial structure changes
+            k = rng.normal(size=(6, 3))
+            k /= np.linalg.norm(k, axis=1, keepdims=True)
+            wavelen = rng.uniform(1.5, 4.0, size=6)
+            phase = rng.uniform(0, 2 * np.pi, size=6)
+            amp = rng.uniform(0.5, 1.0, size=6)
+            raw = sum(a * np.cos(2 * np.pi / w * self.landmarks @ kk + ph)
+                      for a, w, kk, ph in zip(amp, wavelen, k, phase))
+            self.lm_quality = marginal[np.argsort(np.argsort(raw))]
+        else:
+            self.lm_quality = marginal[rng.permutation(self.n_landmarks)]
         self.rng = rng
         self.tracked: dict = {}
         # landmark-idx → feature id; ids are MONOTONICALLY increasing like

@@ -125,3 +125,32 @@ def test_rolling_shutter_compensation():
     assert abs(float(st_rs.td)) < 5e-3, float(st_rs.td)
     assert float(diag_rs["cost"]) < 0.3 * float(diag_no["cost"]), (
         float(diag_rs["cost"]), float(diag_no["cost"]))
+
+
+def test_blockwise_normal_equations_match_dense():
+    """normal_equations_fast must produce the same H/g/landmark blocks as
+    the dense-row path (same math, different association order)."""
+    from anticipated_vins_mono_tpu.ops.window import (
+        build_normal_equations, linearize, normal_equations_fast)
+    for est_td in (False, True):
+        cfg = WindowConfig(window=5, max_feats=32, iters=2,
+                           estimate_td=est_td)
+        prob = make_window_problem(cfg, seed=7, perturb=0.4, pixel_noise=0.5)
+        anchor_ref = (prob.init.p[0], prob.init.q[0])
+        r_all, J_all, p_res, p_rows, p_rho, _ = linearize(
+            prob.init, prob.meas, cfg, anchor_ref)
+        H0, g0, Hlp0, hll0, gl0 = build_normal_equations(
+            r_all, J_all, p_res, p_rows, p_rho, cfg)
+        H1, g1, Hlp1, hll1, gl1 = normal_equations_fast(
+            prob.init, prob.meas, cfg, anchor_ref)
+        scale = float(jnp.max(jnp.abs(H0)))
+        np.testing.assert_allclose(np.asarray(H1), np.asarray(H0),
+                                   atol=1e-8 * scale)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                                   atol=1e-8 * float(jnp.max(jnp.abs(g0)) + 1))
+        np.testing.assert_allclose(np.asarray(Hlp1), np.asarray(Hlp0),
+                                   atol=1e-9 * scale)
+        np.testing.assert_allclose(np.asarray(hll1), np.asarray(hll0),
+                                   rtol=1e-9)
+        np.testing.assert_allclose(np.asarray(gl1), np.asarray(gl0),
+                                   rtol=1e-8, atol=1e-12)
