@@ -56,6 +56,30 @@ def global_mesh(fp: int = 1, dp: Optional[int] = None) -> Mesh:
     return Mesh(arr, ("dp", "fp"))
 
 
+def make_global_array(mesh: Mesh, spec, x):
+    """Build a globally-sharded jax.Array from a host-replicated numpy value.
+
+    Every process calls this with the SAME full array (the window problems
+    are derived deterministically from shared seeds); each process donates
+    only its addressable shards. This is the multi-host analog of
+    `jax.device_put(x, NamedSharding(mesh, spec))`."""
+    from jax.sharding import NamedSharding
+    x = np.asarray(x)
+    sh = NamedSharding(mesh, spec)
+    return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
+
+def shard_problem(mesh: Mesh, state, meas):
+    """Shard a batched (state, meas) window problem onto `mesh` with the
+    solver's canonical layout (parallel.sharded.solver_specs). Works on a
+    single host AND across jax.distributed processes."""
+    from anticipated_vins_mono_tpu.parallel.sharded import solver_specs
+    ss, ms = solver_specs()
+    put = lambda x, s: make_global_array(mesh, s, x)
+    return (jax.tree_util.tree_map(put, state, ss),
+            jax.tree_util.tree_map(put, meas, ms))
+
+
 def scaling_report(solver, state, meas, reps: int = 5) -> dict:
     """Measure aggregate window-solves/s on the current mesh — the
     iterations/s scaling-efficiency probe of BASELINE.json."""

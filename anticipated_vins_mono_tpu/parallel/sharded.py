@@ -131,6 +131,25 @@ def sharded_lm_solve(cfg: WindowConfig, mesh: Mesh):
         return st, {"cost0": cost0, "cost": cost}
 
     # ---- shard_map plumbing: batch axis over dp, feature axis over fp
+    state_specs, meas_specs = solver_specs()
+
+    mapped = jax.shard_map(
+        jax.vmap(one_solve),
+        mesh=mesh,
+        in_specs=(state_specs, meas_specs),
+        out_specs=(state_specs, {"cost0": P("dp"), "cost": P("dp")}),
+        # costs are psum-replicated over fp; the static vma checker cannot
+        # prove it through the branchless LM carry, so disable the check
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def solver_specs():
+    """PartitionSpec pytrees for sharded_lm_solve's (state, meas) inputs —
+    batch axis over dp, landmark-slot axis over fp. Exposed so multi-host
+    callers can build globally-sharded arrays (make_array_from_callback)
+    matching the solver's layout."""
     state_specs = WindowState(
         p=P("dp"), q=P("dp"), v=P("dp"), ba=P("dp"), bg=P("dp"),
         tic=P("dp"), qic=P("dp"), td=P("dp"), inv_depth=P("dp", "fp"))
@@ -148,17 +167,7 @@ def sharded_lm_solve(cfg: WindowConfig, mesh: Mesh):
         pts=P("dp", "fp"), vel=P("dp", "fp"), mask=P("dp", "fp"),
         anchor=P("dp", "fp"), feat_valid=P("dp", "fp"),
         prior=prior_specs)
-
-    mapped = jax.shard_map(
-        jax.vmap(one_solve),
-        mesh=mesh,
-        in_specs=(state_specs, meas_specs),
-        out_specs=(state_specs, {"cost0": P("dp"), "cost": P("dp")}),
-        # costs are psum-replicated over fp; the static vma checker cannot
-        # prove it through the branchless LM carry, so disable the check
-        check_vma=False,
-    )
-    return jax.jit(mapped)
+    return state_specs, meas_specs
 
 
 def _pre_struct():

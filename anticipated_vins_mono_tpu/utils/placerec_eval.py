@@ -46,7 +46,7 @@ def build_keyframe_descriptors(duration: float = 60.0, laps: float = 3.0,
                                               n_corners, 12)
         uv = np.asarray(uv)[np.asarray(valid)]
         desc = pg.brief_descriptors(imj, jnp.asarray(uv))
-        g = np.asarray(pg.bow_descriptor(desc, jnp.ones(len(uv))))
+        g = np.asarray(pg.bow_histogram(desc, jnp.ones(len(uv))))
         gdescs.append(g)
         pos.append(gt.p[k])
         view.append(R_all[k][:, 2])     # camera forward = body +z
@@ -61,7 +61,8 @@ def pr_curve(gdescs, pos, view, exclude: int = 20,
     cosa = np.cos(np.radians(angle_thresh_deg))
     for i in range(exclude + 1, K):
         js = np.arange(0, i - exclude)
-        s = gdescs[js] @ gdescs[i]
+        # causal tf-idf scoring, exactly as LoopClosureNode queries
+        s = pg.idf_similarities(gdescs[js], gdescs[i])
         d = np.linalg.norm(pos[js] - pos[i], axis=1)
         a = view[js] @ view[i]
         lab = (d < dist_thresh) & (a > cosa)
@@ -80,7 +81,7 @@ def pr_curve(gdescs, pos, view, exclude: int = 20,
 
 def best_query_eval(gdescs, pos, view, exclude: int = 20,
                     dist_thresh: float = 0.6, angle_thresh_deg: float = 25.0,
-                    sim_hi: float = 0.80):
+                    sim_hi: float = 0.32):
     """Per-query top-1 evaluation — the way detectLoop actually uses the
     database: for every keyframe with ≥1 true revisit, does the best-scoring
     candidate (above threshold) land on a true revisit?"""
@@ -92,7 +93,7 @@ def best_query_eval(gdescs, pos, view, exclude: int = 20,
         d = np.linalg.norm(pos[js] - pos[i], axis=1)
         a = view[js] @ view[i]
         lab = (d < dist_thresh) & (a > cosa)
-        s = gdescs[js] @ gdescs[i]
+        s = pg.idf_similarities(gdescs[js], gdescs[i])
         best = int(np.argmax(s))
         fired = s[best] > sim_hi
         if lab.any():
