@@ -128,6 +128,8 @@ def run_one(sequence: str, policy: Optional[str] = "anticipate",
 
 def _run_cell(kwargs):
     """Subprocess entry: force CPU f64 before JAX initializes."""
+    from anticipated_vins_mono_tpu.utils.jaxenv import force_cpu_f64
+    force_cpu_f64()
     row = run_one(**kwargs)
     print(json.dumps(row), flush=True)
     return row

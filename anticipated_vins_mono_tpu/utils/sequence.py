@@ -57,26 +57,38 @@ class SequenceSimulator:
     quality_mode: str = "spatial"
     tic: np.ndarray | None = None
     qic: np.ndarray | None = None
+    # explicit landmark positions [N,3]; None → uniform box around the
+    # trajectory (wall_landmarks() gives revisit-consistent surface points
+    # for loop-closure scenarios)
+    landmarks: np.ndarray | None = None
 
     def __post_init__(self):
         rng = np.random.default_rng(self.seed)
         t = self.traj
         lo, hi = t.p.min(0) - 4.0, t.p.max(0) + 4.0
-        self.landmarks = rng.uniform(lo, hi, size=(self.n_landmarks, 3))
-        marginal = np.sort(rng.beta(5.0, 2.0, size=self.n_landmarks))
+        if self.landmarks is None:
+            self.landmarks = rng.uniform(lo, hi, size=(self.n_landmarks, 3))
+        else:
+            self.landmarks = np.asarray(self.landmarks, float)
+            self.n_landmarks = len(self.landmarks)
+        # quality field on its OWN rng stream: the track-selection draws
+        # below must not depend on quality_mode (keeps scenarios comparable
+        # across modes and releases)
+        qrng = np.random.default_rng(self.seed + 777_001)
+        marginal = np.sort(qrng.beta(5.0, 2.0, size=self.n_landmarks))
         if self.quality_mode == "spatial":
             # smooth random field over position; rank-map onto the same
             # beta(5,2) marginal so only the spatial structure changes
-            k = rng.normal(size=(6, 3))
+            k = qrng.normal(size=(6, 3))
             k /= np.linalg.norm(k, axis=1, keepdims=True)
-            wavelen = rng.uniform(1.5, 4.0, size=6)
-            phase = rng.uniform(0, 2 * np.pi, size=6)
-            amp = rng.uniform(0.5, 1.0, size=6)
+            wavelen = qrng.uniform(1.5, 4.0, size=6)
+            phase = qrng.uniform(0, 2 * np.pi, size=6)
+            amp = qrng.uniform(0.5, 1.0, size=6)
             raw = sum(a * np.cos(2 * np.pi / w * self.landmarks @ kk + ph)
                       for a, w, kk, ph in zip(amp, wavelen, k, phase))
             self.lm_quality = marginal[np.argsort(np.argsort(raw))]
         else:
-            self.lm_quality = marginal[rng.permutation(self.n_landmarks)]
+            self.lm_quality = marginal[qrng.permutation(self.n_landmarks)]
         self.rng = rng
         self.tracked: dict = {}
         # landmark-idx → feature id; ids are MONOTONICALLY increasing like

@@ -235,3 +235,59 @@ def make_window_problem(cfg: WindowConfig,
         feat_valid=jnp.asarray(feat_valid, dtype),
         prior=PriorFactor.empty(cfg, dtype))
     return WindowProblem(gt, init, meas, frame_times)
+
+
+def loop_trajectory(duration: float, laps: float = 3.0, radius: float = 3.0,
+                    imu_rate: float = 200.0, bob: float = 0.25) -> Trajectory:
+    """Multi-lap circular circuit with the camera (body +z) looking along the
+    direction of travel — the canonical loop-closure scenario: every lap
+    revisits the same poses, so place recognition has ground-truth positives
+    and the pose graph has real loops to close. Analytic p/v/a; orientation
+    is pure yaw following the tangent (ω_body = (0, −θ̇, 0) with body y down),
+    plus a vertical bob that repeats per lap (revisit-consistent).
+    """
+    dt = 1.0 / imu_rate
+    n = int(round(duration * imu_rate)) + 1
+    t = np.arange(n) * dt
+    th_rate = 2.0 * np.pi * laps / duration
+    th = th_rate * t
+    wb = 2.0 * np.pi * laps / duration  # bob once per lap
+
+    p = np.stack([radius * np.cos(th), radius * np.sin(th),
+                  bob * np.sin(wb * t)], axis=-1)
+    v = np.stack([-radius * th_rate * np.sin(th),
+                  radius * th_rate * np.cos(th),
+                  bob * wb * np.cos(wb * t)], axis=-1)
+    a = np.stack([-radius * th_rate ** 2 * np.cos(th),
+                  -radius * th_rate ** 2 * np.sin(th),
+                  -bob * wb * wb * np.sin(wb * t)], axis=-1)
+
+    # R_wb(θ) = Rz(θ)·Rx(−90°): body x radially outward, y down, z along
+    # the tangent (camera-style axes). Hamilton product q = qz(θ) ⊗ qx(−90°)
+    # with qz = [c,0,0,s], q0 = [s2,−s2,0,0]:
+    #   w = c·s2, x = −c·s2, y = s·(−s2) (z1·x2 term), z = s·s2
+    half = 0.5 * th
+    c, s = np.cos(half), np.sin(half)
+    s2 = np.sqrt(0.5)
+    q = np.stack([c * s2, -c * s2, -s * s2, s * s2], -1)
+
+    gyr = np.tile(np.array([0.0, -th_rate, 0.0]), (n, 1))
+    R = np.asarray(lie.quat_to_rot(jnp.asarray(q)))
+    acc_body = np.einsum("nij,nj->ni", R.transpose(0, 2, 1), a - G_W)
+    return Trajectory(t, p, q, v, acc_body, gyr)
+
+
+def wall_landmarks(world_lo: np.ndarray, world_hi: np.ndarray, n: int,
+                   rng: np.random.Generator) -> np.ndarray:
+    """Landmarks ON the box-world walls (utils.render.BoxWorld AABB): points
+    a camera anywhere inside sees at consistent surface texture — required
+    for cross-visit BRIEF matching (a floating landmark's backdrop changes
+    with viewpoint; a wall point's does not)."""
+    lo, hi = np.asarray(world_lo, float), np.asarray(world_hi, float)
+    face = rng.integers(0, 6, size=n)
+    u = rng.uniform(size=(n, 3))
+    pts = lo + u * (hi - lo)
+    axis = face % 3
+    side = face // 3
+    pts[np.arange(n), axis] = np.where(side == 0, lo[axis], hi[axis])
+    return pts
