@@ -64,6 +64,12 @@ def _masked_schur(H, b, drop_mask):
     reference's SelfAdjointEigenSolver pattern (marginalization_factor.cpp:
     267-281) — which also makes the masked-out zero rows/cols harmless.
     """
+    # f64 (identity when x64 off): the keep−drop Schur subtraction and the
+    # eps-thresholded eigendecomposition are the prior's precision floor;
+    # this runs once per frame, outside the LM hot loop
+    H = H.astype(jnp.float64)
+    b = b.astype(jnp.float64)
+    drop_mask = drop_mask.astype(jnp.float64)
     keep = 1.0 - drop_mask
     Hdd = H * drop_mask[:, None] * drop_mask[None, :]
     Hkd = H * keep[:, None] * drop_mask[None, :]
@@ -79,7 +85,8 @@ def _masked_schur(H, b, drop_mask):
 def _sqrt_factor(H, b):
     """(J0, r0) with J0ᵀJ0 = H, J0ᵀr0 = b via eigenvalue sqrt
     (marginalization_factor.cpp:283-291)."""
-    w, V = jnp.linalg.eigh(H)
+    w, V = jnp.linalg.eigh(H.astype(jnp.float64))
+    b = b.astype(jnp.float64)
     ok = w > EIG_EPS
     w_safe = jnp.where(ok, w, 1.0)
     s = jnp.sqrt(w_safe) * ok
@@ -162,9 +169,9 @@ def marginalize_oldest(state: WindowState, meas: WindowMeasurements,
     Hk, bk = H2[:d, :d], b2[:d]
     J0, r0 = _sqrt_factor(Hk, bk)
 
-    S = _shift_matrix(cfg, 0).astype(dtype)
+    S = _shift_matrix(cfg, 0).astype(J0.dtype)
     J0s = J0 @ S
-    return PriorFactor(J0=J0s, r0=r0,
+    return PriorFactor(J0=J0s.astype(dtype), r0=r0.astype(dtype),
                        lin=_slide_lin_state(state, 0, cfg),
                        weight=jnp.ones((), dtype))
 
@@ -194,7 +201,7 @@ def marginalize_second_newest(state: WindowState, prior: PriorFactor,
     drop = drop.at[6 * nf + 9 * fidx: 6 * nf + 9 * fidx + 9].set(1.0)
     H2, b2 = _masked_schur(H, b, drop)
     J0, r0 = _sqrt_factor(H2, b2)
-    S = _shift_matrix(cfg, fidx).astype(dtype)
-    return PriorFactor(J0=J0 @ S, r0=r0,
+    S = _shift_matrix(cfg, fidx).astype(J0.dtype)
+    return PriorFactor(J0=(J0 @ S).astype(dtype), r0=r0.astype(dtype),
                        lin=_slide_lin_state(state, fidx, cfg),
                        weight=prior.weight)

@@ -66,6 +66,10 @@ class WindowConfig(NamedTuple):
     lm_lambda_down: float = 0.5
     min_inv_depth: float = 0.01  # clamp: depths beyond 100 m
     lm_strategy: str = "halving"  # "halving" | "nielsen"
+    # fused Pallas Schur-reduction/solve kernel (f32, TPU): one launch
+    # instead of XLA's einsum→cholesky→cho_solve chain. Perf-path only —
+    # the f64 accuracy path keeps the XLA solve.
+    pallas_schur: bool = False
 
     @property
     def nf(self) -> int:
@@ -425,17 +429,6 @@ def linearize(state: WindowState, meas: WindowMeasurements, cfg: WindowConfig,
     return r_all, J_all, p_res, p_rows, p_rho, p_sq
 
 
-def cost_from_linearization(r_all, p_res, p_sq, cfg: WindowConfig):
-    """Exact robust cost from a linearization's residuals — avoids a second
-    full residual pass per LM iteration. Projection factors use the true
-    Cauchy ρ on their raw squared norms; the remaining rows (IMU, prior,
-    anchor) are plain quadratic and already validity-weighted in r_all."""
-    c2 = cfg.cauchy_scale ** 2
-    proj_cost = 0.5 * c2 * jnp.sum(jnp.log1p(p_sq / c2))
-    rest = r_all[p_res.size:]
-    return proj_cost + 0.5 * jnp.sum(rest * rest)
-
-
 def robust_cost(state: WindowState, meas: WindowMeasurements,
                 cfg: WindowConfig, anchor_ref=None) -> jax.Array:
     """0.5·Σ ρ(‖r‖²) over all factors (the objective LM ratchets down)."""
@@ -470,8 +463,13 @@ def robust_cost(state: WindowState, meas: WindowMeasurements,
         c2 = cfg.cauchy_scale ** 2
         return 0.5 * c2 * jnp.log1p(s2 / c2) * valid
 
+    # accumulate factor costs in f64 (identity when x64 is off): LM's
+    # accept/reject compares costs whose difference is ~1e-7 relative —
+    # f32 summation noise over thousands of terms stalls convergence
+    # (SURVEY.md §7 hard part 4 mixed-precision plan)
     pc = jax.vmap(jax.vmap(proj_cost, in_axes=(None, 0)),
-                  in_axes=(0, None))(f_grid, j_grid).sum()
+                  in_axes=(0, None))(f_grid, j_grid)\
+        .astype(jnp.float64).sum()
 
     def imu_cost(i):
         pre_i = jax.tree_util.tree_map(lambda x: x[i], meas.pre)
@@ -481,7 +479,8 @@ def robust_cost(state: WindowState, meas: WindowMeasurements,
             state.bg[i + 1], pre_i)
         return 0.5 * jnp.sum(res * res) * meas.pre_valid[i]
 
-    ic = jax.vmap(imu_cost)(jnp.arange(cfg.window, dtype=jnp.int32)).sum()
+    ic = jax.vmap(imu_cost)(jnp.arange(cfg.window, dtype=jnp.int32))\
+        .astype(jnp.float64).sum()
 
     rc = 0.0
     if meas.relo_pts is not None:
@@ -496,18 +495,21 @@ def robust_cost(state: WindowState, meas: WindowMeasurements,
             s2 = jnp.sum(res * res)
             c2 = cfg.cauchy_scale ** 2
             return 0.5 * c2 * jnp.log1p(s2 / c2) * valid
-        rc = jax.vmap(relo_cost)(f_grid).sum()
+        rc = jax.vmap(relo_cost)(f_grid).astype(jnp.float64).sum()
 
     dx_lin = state_boxminus(state, meas.prior.lin, cfg)
-    pr = (meas.prior.r0 + meas.prior.J0 @ dx_lin) * meas.prior.weight
+    pr = ((meas.prior.r0 + meas.prior.J0 @ dx_lin)
+          * meas.prior.weight).astype(jnp.float64)
     prc = 0.5 * jnp.sum(pr * pr)
 
     if anchor_ref is None:
         anchor_ref = (state.p[0], state.q[0])
     a_res, _ = _anchor_rows(state, anchor_ref, cfg, meas.prior.weight)
+    a_res = a_res.astype(jnp.float64)
     zc = 0.0
     if meas.zupt_w is not None:
-        zc = 0.5 * jnp.sum((meas.zupt_w[:, None] * state.v) ** 2)
+        zc = 0.5 * jnp.sum(
+            ((meas.zupt_w[:, None] * state.v) ** 2).astype(jnp.float64))
     return pc + ic + rc + prc + zc + 0.5 * jnp.sum(a_res * a_res)
 
 # ----------------------------------------------------------------------------
@@ -656,6 +658,17 @@ def schur_solve(H, g, H_lp, h_ll, g_l, lam, cfg: WindowConfig):
     multiplicative on the diagonal (Marquardt scaling).
     """
     dtype = H.dtype
+    # the Schur reduction + factorization run in f64 (identity when x64 is
+    # off): H − H_lpᵀ diag⁻¹ H_lp cancels catastrophically in f32 when
+    # landmark information dominates; the promoted block is only
+    # [F,D]·[D,D]-sized — negligible next to the einsum assembly even under
+    # TPU f64 emulation (SURVEY.md §7 hard part 4)
+    H = H.astype(jnp.float64)
+    g = g.astype(jnp.float64)
+    H_lp = H_lp.astype(jnp.float64)
+    h_ll = h_ll.astype(jnp.float64)
+    g_l = g_l.astype(jnp.float64)
+    lam = lam.astype(jnp.float64)
     h_ll_d = h_ll * (1.0 + lam) + 1e-12           # damp landmarks too
     inv_h = jnp.where(h_ll > 1e-10, 1.0 / h_ll_d, 0.0)
     H_red = H - jnp.einsum("fd,f,fe->de", H_lp, inv_h, H_lp)
@@ -678,7 +691,7 @@ def schur_solve(H, g, H_lp, h_ll, g_l, lam, cfg: WindowConfig):
     # gain ratio); landmark part uses its own damping term.
     pred = 0.5 * jnp.sum(dx * (damp * dx - g_red)) + \
         0.5 * jnp.sum(d_rho * (lam * h_ll * d_rho - g_l))
-    return dx, d_rho, pred
+    return dx.astype(dtype), d_rho.astype(dtype), pred
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -702,7 +715,14 @@ def lm_solve(state: WindowState, meas: WindowMeasurements, cfg: WindowConfig):
                 st, meas, cfg, anchor_ref)
             H, g, H_lp, h_ll, g_l = build_normal_equations(
                 r_all, J_all, p_res, p_rows, p_rho, cfg)
-        dx, d_rho, pred = schur_solve(H, g, H_lp, h_ll, g_l, lam, cfg)
+        if cfg.pallas_schur:
+            from anticipated_vins_mono_tpu.ops.pallas_kernels import \
+                schur_solve_fused
+            dx, d_rho, pred = schur_solve_fused(H, g, H_lp, h_ll, g_l, lam)
+            dx = dx.astype(st.p.dtype)
+            d_rho = d_rho.astype(st.p.dtype)
+        else:
+            dx, d_rho, pred = schur_solve(H, g, H_lp, h_ll, g_l, lam, cfg)
         cand = retract(st, dx, d_rho, cfg)
         new_cost = robust_cost(cand, meas, cfg, anchor_ref)
         # NOTE: carrying the candidate's linearization across iterations to
@@ -710,7 +730,8 @@ def lm_solve(state: WindowState, meas: WindowMeasurements, cfg: WindowConfig):
         # the [N,D] Jacobian pytrees through the branchless accept/reject is
         # bandwidth-bound and costs more than the residual re-evaluation.
 
-        rho = (cost - new_cost) / jnp.maximum(pred, 1e-30)
+        rho = ((cost - new_cost) / jnp.maximum(pred, 1e-30))\
+            .astype(lam.dtype)   # keep the fori_loop carry dtype stable
         ok = (new_cost < cost) & (pred > 0)
         okf = ok.astype(dx.dtype)
         sel = lambda a, b: okf * b + (1.0 - okf) * a

@@ -40,3 +40,64 @@ def test_dispatch_fallback_cpu():
     out = pk.logdet_psd(M)
     np.testing.assert_allclose(np.asarray(out),
                                np.asarray(lie.logdet_psd(M)), rtol=1e-5)
+
+
+def _schur_system(D=178, F=192, seed=3, lam=1e-3):
+    """Jacobian-consistent system: rows touch the pose block + at most ONE
+    landmark column (the solver's structure), so H_red = H − H_lpᵀD⁻¹H_lp is
+    a true PSD Schur complement — random blocks would be indefinite."""
+    rng = np.random.default_rng(seed)
+    N = 4 * D
+    Jp = (rng.normal(size=(N, D)) * 0.3).astype(np.float32)
+    lm_of_row = rng.integers(0, F, size=N)
+    Jl = (rng.normal(size=N) * 0.8).astype(np.float32)
+    Jl[lm_of_row >= F - 10] = 0.0      # some landmarks get no rows (masked)
+    r = rng.normal(size=N).astype(np.float32)
+    H = Jp.T @ Jp + 0.1 * np.eye(D, dtype=np.float32)
+    g = Jp.T @ r
+    onehot = np.zeros((N, F), np.float32)
+    onehot[np.arange(N), lm_of_row] = Jl
+    H_lp = onehot.T @ Jp
+    h_ll = (onehot * onehot).sum(0)
+    g_l = onehot.T @ r
+    return (jnp.asarray(H), jnp.asarray(g), jnp.asarray(H_lp),
+            jnp.asarray(h_ll), jnp.asarray(g_l),
+            jnp.asarray(lam, jnp.float32))
+
+
+def test_schur_solve_fused_parity():
+    """Fused kernel == ops.window.schur_solve (f32, interpret mode)."""
+    from anticipated_vins_mono_tpu.ops.window import WindowConfig, schur_solve
+    H, g, H_lp, h_ll, g_l, lam = _schur_system()
+    cfg = WindowConfig()
+    dx0, dr0, pred0 = schur_solve(H, g, H_lp, h_ll, g_l, lam, cfg)
+    out = pk._schur_solve_fused_batched(
+        H[None], g[None], H_lp[None], h_ll[None], g_l[None],
+        lam[None], interpret=True)
+    dx1, dr1, pred1 = (out[0][0], out[1][0], out[2][0])
+    scale = float(jnp.max(jnp.abs(dx0)))
+    np.testing.assert_allclose(np.asarray(dx1), np.asarray(dx0, np.float32),
+                               atol=2e-4 * max(scale, 1.0), rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(dr1), np.asarray(dr0, np.float32),
+                               atol=2e-3, rtol=2e-3)
+    np.testing.assert_allclose(float(pred1), float(pred0), rtol=2e-3)
+
+
+def test_schur_solve_fused_vmap():
+    """vmap over scenarios lifts the kernel to a batch grid."""
+    import jax
+    from anticipated_vins_mono_tpu.ops.window import WindowConfig, schur_solve
+    cfg = WindowConfig()
+    systems = [_schur_system(seed=s, lam=10.0 ** -s) for s in range(1, 4)]
+    batch = [jnp.stack([s[i] for s in systems]) for i in range(6)]
+    dx1, dr1, pred1 = pk._schur_solve_fused_batched(*batch, interpret=True)
+    # the custom_vmap rule routes jax.vmap to the same batched grid impl
+    # (compiled-mode only — interpreter can't thread through custom_vmap
+    # here, so the rule itself is exercised on TPU via cfg.pallas_schur)
+    for b, (H, g, Hlp, hll, gl, lam) in enumerate(systems):
+        dx0, dr0, pred0 = schur_solve(H, g, Hlp, hll, gl, lam, cfg)
+        scale = float(jnp.max(jnp.abs(dx0)))
+        np.testing.assert_allclose(np.asarray(dx1[b]),
+                                   np.asarray(dx0, np.float32),
+                                   atol=2e-4 * max(scale, 1.0), rtol=2e-3)
+        np.testing.assert_allclose(float(pred1[b]), float(pred0), rtol=2e-3)
