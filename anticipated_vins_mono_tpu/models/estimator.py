@@ -103,6 +103,10 @@ class EstimatorDiagnostics:
     failures: int = 0
     keyframes: int = 0
     costs: list = field(default_factory=list)
+    # per-frame wall times [s]: selector / window solve incl. device sync
+    # (the reference's per-stage TicToc table, results.tex:74-83)
+    sel_s: list = field(default_factory=list)
+    solve_s: list = field(default_factory=list)
 
 
 class VioEstimator:
@@ -172,6 +176,9 @@ class VioEstimator:
         self.initialized = False
         self.pending_relo = None   # (p, q, {feature_id: pt3 in relo frame})
         self.relo_result = None    # (relative_t, relative_q) after the solve
+        # keyframe snapshot for the pose-graph consumer (pubKeyframe,
+        # visualization.cpp:343-428): set after each keyframe solve
+        self.last_keyframe = None
 
     # ------------------------------------------------------------------
     # IMU-rate propagation (midpoint, matching estimator_node predict(),
@@ -204,6 +211,7 @@ class VioEstimator:
     def process_frame(self, fm: FrameMeasurement):
         cfg = self.cfg
         k = self.n_frames
+        self.last_keyframe = None
 
         if k == 0:
             # first frame: align roll/pitch with measured gravity
@@ -261,8 +269,11 @@ class VioEstimator:
                 "acc": np.asarray(fm.imu_acc[-1], float),
                 "gyr": np.asarray(fm.imu_gyr[-1], float),
             }
+            import time as _time
+            _t0 = _time.perf_counter()
             feats = self.selector.select(feats, state_k1, self.db,
                                          initialized=self.initialized)
+            self.diag.sel_s.append(_time.perf_counter() - _t0)
         keyframe = self.db.add_frame(k, feats)
         self.td_at_frame[k] = self.td
         self.frame_times.append(fm.t)
@@ -333,9 +344,12 @@ class VioEstimator:
                     relo_pts=jnp.asarray(relo_pts, self.dtype),
                     relo_valid=jnp.asarray(relo_valid, self.dtype))
 
+        import time as _time
+        _t0 = _time.perf_counter()
         new_state, sdiag = lm_solve(state, meas, cfg)
         self.diag.solves += 1
-        self.diag.costs.append(float(sdiag["cost"]))
+        self.diag.costs.append(float(sdiag["cost"]))  # float() syncs device
+        self.diag.solve_s.append(_time.perf_counter() - _t0)
         self.last_solve = (state, meas, new_state)  # diagnostics hook
 
         if self._failure(new_state):
@@ -370,6 +384,12 @@ class VioEstimator:
         state_sol = self._device_state()
         if keyframe:
             self.diag.keyframes += 1
+            # snapshot of the just-optimized newest frame + its solved
+            # landmarks for the pose-graph node (pubKeyframe publishes pose +
+            # point cloud with ids, visualization.cpp:343-428; the reference
+            # publishes the 2nd-newest — we publish the newest, equivalent
+            # content one frame earlier)
+            self.last_keyframe = self._keyframe_snapshot(fm.t)
             self.prior = mg.marginalize_oldest(state_sol, self._measurements(
                 state_sol), cfg)
             R0 = np.asarray(lie.quat_to_rot(jnp.asarray(self.q[0])))
@@ -432,6 +452,33 @@ class VioEstimator:
         in `self.relo_result` for the pose-graph consumer."""
         self.pending_relo = (np.asarray(relo_p, float),
                              np.asarray(relo_q, float), dict(matches))
+
+    def _keyframe_snapshot(self, t: float):
+        """Pose + solved landmarks of the newest window frame, in world
+        coordinates — the content of the reference's keyframe_pose +
+        keyframe_point topics (visualization.cpp:343-428): per landmark its
+        world 3-D position (anchor obs / inverse depth through the anchor
+        pose) and its normalized observation in this frame, keyed by id."""
+        cfg = self.cfg
+        nf1 = cfg.nf - 1
+        db = self.db
+        sel = np.nonzero((db.ids >= 0) & (db.solved > 0.5)
+                         & (db.mask[:, nf1] > 0))[0]
+        Ric = np.asarray(lie.quat_to_rot(jnp.asarray(self.qic)))
+        X = np.zeros((len(sel), 3))
+        anchors = db.anchor
+        for row, s in enumerate(sel):
+            a = int(anchors[s])
+            pt_c = db.pts[s, a] / max(db.inv_depth[s], 1e-6)
+            R_a = np.asarray(lie.quat_to_rot(jnp.asarray(self.q[a])))
+            X[row] = R_a @ (Ric @ pt_c + self.tic) + self.p[a]
+        return {
+            "t": float(t),
+            "p": self.p[nf1].copy(), "q": self.q[nf1].copy(),
+            "ids": db.ids[sel].copy(),
+            "X": X,
+            "uv": db.pts[sel, nf1, :2].copy(),
+        }
 
     # ------------------------------------------------------------------
     # visual-inertial initialization (initialStructure + visualInitialAlign,

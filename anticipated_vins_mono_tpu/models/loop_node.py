@@ -1,0 +1,219 @@
+"""Runtime loop-closure node: keyframe imagery → place recognition →
+geometric verification → relocalization feedback → 4-DoF PGO → drift.
+
+The reference's pose_graph node process loop
+(/root/reference/pose_graph/src/pose_graph_node.cpp:294-452): time-aligned
+(keyframe pose, window point cloud, raw image) triplets become KeyFrames
+(FAST + BRIEF extraction, keyframe.cpp:87+), run DBoW2 detectLoop with
+top-4 / dual-threshold / 50-frame-exclusion acceptance
+(pose_graph.cpp:304-385), verify with BRIEF matching + PnP RANSAC
+(findConnection, keyframe.cpp:259-430), publish match_points back to the
+estimator for relocalization factors (estimator_node.cpp:406 →
+setReloFrame), and optimize the 4-DoF pose graph on a separate thread.
+
+TPU-native differences: BoW is a random-vocabulary tf-idf histogram scored
+by one matmul (posegraph.bow_histogram); BRIEF matching is one batched
+XOR-popcount; PGO is one jitted masked Gauss-Newton. The node is host-side
+orchestration over those jitted kernels — the estimator feeds it
+synchronously (no ROS, no threads) via `VioEstimator.last_keyframe`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from anticipated_vins_mono_tpu.models import posegraph as pg
+from anticipated_vins_mono_tpu.ops import cameras, lie
+
+
+def _wrap_deg(a):
+    return (a + 180.0) % 360.0 - 180.0
+
+
+@dataclass
+class KeyframeEntry:
+    """Per-keyframe database record (the KeyFrame class, keyframe.h:33-86)."""
+    t: float
+    p_vio: np.ndarray
+    q_vio: np.ndarray
+    hist: np.ndarray            # BoW histogram over detected corners
+    corner_desc: np.ndarray     # [M,256] BRIEF at freshly detected corners
+    corner_norm: np.ndarray     # [M,2] normalized coords of those corners
+    win_ids: np.ndarray         # [N] estimator feature ids (window points)
+    win_desc: np.ndarray        # [N,256] BRIEF at projected window points
+    win_X: np.ndarray           # [N,3] world 3-D of window points (VIO frame)
+
+
+@dataclass
+class LoopClosureNode:
+    """detectLoop + findConnection + relocalization + PGO, ROS-free.
+
+    Wire-up (the euroc.launch topic graph, estimator_node.cpp:406,
+    pose_graph_node.cpp:524-548):
+      est.process_frame(fm)
+      if est.last_keyframe: node.on_keyframe(img, est.last_keyframe, est)
+      p_corr, q_corr = node.correct_pose(p, q)   # vins_result_loop analog
+    """
+    cam: object
+    graph: pg.PoseGraph = field(default_factory=pg.PoseGraph)
+    n_corners: int = 300          # reference extracts 500 FAST (keyframe.cpp:87)
+    exclude_recent: int = 50      # frame exclusion (pose_graph.cpp:317)
+    top_k: int = 4                # query top-4 (pose_graph.cpp:317)
+    sim_hi: float = 0.32          # best-score gate (0.05 DBoW2 analog; set
+                                  # from placerec_eval's precision-1.0 point)
+    sim_lo_ratio: float = 0.45    # 2nd-candidate gate = sim_hi*ratio
+                                  # (0.015/0.05 = 0.3..; measured safe at .45)
+    min_inliers: int = 25         # MIN_LOOP_NUM (keyframe.h:15)
+    skip_cnt: int = 0             # process every (skip_cnt+1)-th keyframe
+    skip_dist: float = 0.0        # min translation between pose-graph kfs
+    tic: np.ndarray = field(default_factory=lambda: np.zeros(3))
+    qic: np.ndarray = field(default_factory=lambda: np.array([1.0, 0, 0, 0]))
+
+    def __post_init__(self):
+        self.entries: list[KeyframeEntry] = []
+        self.loops: list[dict] = []   # diagnostics of accepted loops
+        self._skip = 0
+        self._last_p: Optional[np.ndarray] = None
+        self.R_ic = np.asarray(lie.quat_to_rot(jnp.asarray(self.qic)))
+
+    # ------------------------------------------------------------------
+
+    def on_keyframe(self, img: np.ndarray, snap: dict, est=None) -> Optional[int]:
+        """Ingest one keyframe (rendered/camera image + estimator snapshot).
+
+        Returns the matched older keyframe index when a loop was accepted
+        and verified, else None. When `est` is given, verified matches are
+        fed back as relocalization factors (setReloFrame parity)."""
+        if self._skip > 0:
+            self._skip -= 1
+            return None
+        if self._last_p is not None and self.skip_dist > 0 and \
+                np.linalg.norm(snap["p"] - self._last_p) < self.skip_dist:
+            return None
+        self._skip = self.skip_cnt
+        self._last_p = np.asarray(snap["p"], float)
+
+        from anticipated_vins_mono_tpu.models import frontend as fe
+        imj = jnp.asarray(img, jnp.float32)
+        H, W = img.shape
+
+        # fresh corners + BRIEF (KeyFrame::computeBRIEFPoint, keyframe.cpp:87+)
+        uv, _score, valid = fe.detect_features(
+            imj, jnp.zeros_like(imj), self.n_corners, min_dist=8)
+        uv = np.asarray(uv)[np.asarray(valid) > 0]
+        corner_desc = np.asarray(pg.brief_descriptors(imj, jnp.asarray(uv)))
+        corner_norm = np.asarray(cameras.lift_projective(
+            self.cam, jnp.asarray(uv, jnp.float32)))[:, :2]
+
+        # BRIEF at the window points' pixels (computeWindowBRIEFPoint)
+        pt3 = np.concatenate([snap["uv"], np.ones((len(snap["uv"]), 1))], -1)
+        win_pix = np.asarray(cameras.space_to_plane(
+            self.cam, jnp.asarray(pt3, jnp.float32)))
+        inb = ((win_pix[:, 0] >= pg.PATCH_HALF + 2)
+               & (win_pix[:, 0] < W - pg.PATCH_HALF - 2)
+               & (win_pix[:, 1] >= pg.PATCH_HALF + 2)
+               & (win_pix[:, 1] < H - pg.PATCH_HALF - 2))
+        win_desc = np.asarray(pg.brief_descriptors(
+            imj, jnp.asarray(win_pix[inb], jnp.float32)))
+        hist = np.asarray(pg.bow_histogram(
+            jnp.asarray(corner_desc), jnp.ones(len(corner_desc))))
+
+        entry = KeyframeEntry(
+            t=snap["t"], p_vio=np.asarray(snap["p"], float),
+            q_vio=np.asarray(snap["q"], float), hist=hist,
+            corner_desc=corner_desc, corner_norm=corner_norm,
+            win_ids=np.asarray(snap["ids"])[inb],
+            win_desc=win_desc, win_X=np.asarray(snap["X"])[inb])
+        k = self.graph.add_keyframe(entry.p_vio, entry.q_vio, t=entry.t)
+        assert k is None  # no gdesc → the graph never self-detects
+        k = self.graph.n - 1
+        self.entries.append(entry)
+
+        cand = self._detect_loop(k, hist)
+        if cand is None:
+            return None
+        got = self._verify(cand, entry)
+        if got is None:
+            return None
+        rel_t, rel_yaw, p_old_b, q_old_b, matches, n_inl = got
+        self.graph.add_loop_edge(cand, k, rel_t, rel_yaw)
+        self.graph.optimize()
+        self.loops.append({"old": cand, "new": k, "t": entry.t,
+                           "inliers": n_inl})
+        if est is not None and len(matches) >= 6:
+            # FAST_RELOCALIZATION feedback (pose_graph_node.cpp:524-535 →
+            # estimator relocalization_callback → setReloFrame)
+            est.set_relo_frame(p_old_b, q_old_b, matches)
+        return cand
+
+    # ------------------------------------------------------------------
+
+    def _detect_loop(self, k: int, hist: np.ndarray) -> Optional[int]:
+        """detectLoop semantics (pose_graph.cpp:304-385): query top-4 among
+        keyframes older than `exclude_recent`, accept when the best score
+        clears sim_hi AND a second candidate clears sim_lo, return the
+        EARLIEST candidate above sim_lo."""
+        n_old = k - self.exclude_recent
+        if n_old < 1:
+            return None
+        hists = np.stack([e.hist for e in self.entries[:n_old]])
+        sims = pg.idf_similarities(hists, hist)
+        top = np.argsort(sims)[::-1][: self.top_k]
+        sim_lo = self.sim_hi * self.sim_lo_ratio
+        if sims[top[0]] <= self.sim_hi:
+            return None
+        others = top[1:]
+        if not len(others) or sims[others].max() <= sim_lo:
+            return None
+        ok = top[sims[top] > sim_lo]
+        return int(ok.min())
+
+    def _verify(self, old_idx: int, cur: KeyframeEntry):
+        """findConnection (keyframe.cpp:259-430): match the CURRENT window
+        points (ids + world 3-D) against the OLD keyframe's detected
+        corners, PnP-RANSAC the OLD camera pose in the current VIO world,
+        gate on MIN_LOOP_NUM inliers. Returns (rel_t, rel_yaw, old body
+        pose, relo matches {id: pt3 in old frame}, inliers)."""
+        old = self.entries[old_idx]
+        got = pg.find_connection(
+            jnp.asarray(cur.win_desc), cur.win_X,
+            jnp.asarray(old.corner_desc), old.corner_norm,
+            min_inliers=self.min_inliers)
+        if got is None:
+            return None
+        R_cw, p_wc, n_inl, pairs = got
+        # camera → body pose of the OLD keyframe in the current VIO world
+        R_wb = R_cw.T @ self.R_ic.T
+        p_wb = p_wc - R_wb @ self.tic
+        q_old_b = np.asarray(lie.rot_to_quat(jnp.asarray(R_wb)))
+        # loop_info: relative pose old→current from drift-free geometry
+        # (getLoopRelativeT/Yaw, keyframe.h:54-66)
+        rel_t = R_wb.T @ (cur.p_vio - p_wb)
+        ypr_old = np.asarray(lie.rot_to_ypr(jnp.asarray(R_wb)))
+        R_cur = np.asarray(lie.quat_to_rot(jnp.asarray(cur.q_vio)))
+        ypr_cur = np.asarray(lie.rot_to_ypr(jnp.asarray(R_cur)))
+        rel_yaw = float(_wrap_deg(ypr_cur[0] - ypr_old[0]))
+        # sanity gates of the reference (keyframe.cpp:418-424):
+        # |rel_yaw| < 30°, |rel_t| < 20 m
+        if abs(rel_yaw) > 30.0 or np.linalg.norm(rel_t) > 20.0:
+            return None
+        matches = {int(cur.win_ids[i]): np.append(old.corner_norm[j], 1.0)
+                   for i, j in pairs}
+        return rel_t, rel_yaw, p_wb, q_old_b, matches, n_inl
+
+    # ------------------------------------------------------------------
+
+    def correct_pose(self, p, q):
+        """Apply the current PGO drift to a VIO pose — the w_T_vio chaining
+        every output pose goes through before vins_result_loop
+        (pose_graph_node.cpp:501-503, pose_graph.cpp:561-575)."""
+        g = self.graph
+        Rz = np.asarray(lie.ypr_to_rot(jnp.asarray([g.yaw_drift, 0.0, 0.0])))
+        p2 = Rz @ np.asarray(p, float) + g.t_drift
+        q2 = np.asarray(lie.quat_mul(
+            lie.rot_to_quat(jnp.asarray(Rz)), jnp.asarray(q, float)))
+        return p2, q2

@@ -468,7 +468,6 @@ class PoseGraph:
                 loop = int(np.argmax(sims))
                 rel_t = None
         if loop is not None:
-            e = self.n_loops
             if loop_hint is None:
                 # fall back to current relative estimate (callers with
                 # imagery compute this by BRIEF matching + PnP RANSAC)
@@ -477,15 +476,25 @@ class PoseGraph:
                                           jnp.asarray(self.pitch_roll[loop, 1])))
                 rel_t = R_i.T @ (self.pos[k] - self.pos[loop])
                 rel_yaw = self.yaw[k] - self.yaw[loop]
-            if self.seq_id[loop] != self.seq_id[k]:
-                self._align_sequence_to_loop(loop, k, rel_t, rel_yaw)
-            self.loop_i[e] = loop
-            self.loop_j[e] = k
-            self.loop_t[e] = rel_t
-            self.loop_yaw[e] = rel_yaw
-            self.loop_valid[e] = 1.0
-            self.n_loops += 1
+            self.add_loop_edge(loop, k, rel_t, rel_yaw)
         return loop
+
+    def add_loop_edge(self, i: int, j: int, rel_t, rel_yaw: float):
+        """Insert a geometrically-verified loop edge i←j (rel_t in keyframe
+        i's frame, rel_yaw degrees) — the loop_info produced by
+        KeyFrame::findConnection (keyframe.cpp:259-430). Cross-sequence
+        edges first rigidly re-align the newer sequence (pose_graph.cpp:
+        46-57)."""
+        self._ensure_capacity()
+        if self.seq_id[i] != self.seq_id[j]:
+            self._align_sequence_to_loop(i, j, rel_t, rel_yaw)
+        e = self.n_loops
+        self.loop_i[e] = i
+        self.loop_j[e] = j
+        self.loop_t[e] = np.asarray(rel_t, float)
+        self.loop_yaw[e] = float(rel_yaw)
+        self.loop_valid[e] = 1.0
+        self.n_loops += 1
 
     def _align_sequence_to_loop(self, i: int, j: int, rel_t, rel_yaw):
         """First loop between sequences: rigidly shift keyframe j's whole

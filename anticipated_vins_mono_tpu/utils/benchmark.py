@@ -75,7 +75,8 @@ def run_one(sequence: str, policy: Optional[str] = "anticipate",
             detect_count: int = 150, pixel_noise: float = 0.5,
             track_loss_rate: float = 0.0, n_landmarks: int = 8000,
             real_extrinsics: bool = False, hgen: str = "imu",
-            out_dir: Optional[str] = None, seed: int = 0) -> dict:
+            out_dir: Optional[str] = None, seed: int = 0,
+            dtype: str = "f64") -> dict:
     """One (sequence, policy, κ) cell. policy=None disables selection
     (all detected features go to the backend). max_seconds=None runs the
     full GT length. hgen: "imu" | "gt" horizon mode."""
@@ -103,7 +104,9 @@ def run_one(sequence: str, policy: Optional[str] = "anticipate",
         sel = AttentionSelector(scfg, max_candidates=detect_count,
                                 policy=policy, seed=seed,
                                 tic=tic, qic=qic, gt_provider=gt_provider)
-    est = VioEstimator(wcfg, selector=sel, tic=tic, qic=qic)
+    import jax.numpy as jnp
+    est = VioEstimator(wcfg, selector=sel, tic=tic, qic=qic,
+                       dtype=jnp.float32 if dtype == "f32" else jnp.float64)
     with TicToc(f"{sequence}:{policy}") as t:
         res = run_sequence(est, sim)
     row = {
@@ -127,9 +130,17 @@ def run_one(sequence: str, policy: Optional[str] = "anticipate",
 
 
 def _run_cell(kwargs):
-    """Subprocess entry: force CPU f64 before JAX initializes."""
-    from anticipated_vins_mono_tpu.utils.jaxenv import force_cpu_f64
-    force_cpu_f64()
+    """Subprocess entry: force CPU f64 before JAX initializes, and pin each
+    pool worker to its own core — unpinned, N workers × nproc Eigen threads
+    thrash a 4-core host ~10× (measured: 75 min/cell vs ~8)."""
+    from anticipated_vins_mono_tpu.utils.jaxenv import force_cpu_f64, pin_to_cpu
+    import multiprocessing as mp
+    proc = mp.current_process()
+    if proc.name != "MainProcess" and getattr(proc, "_identity", None):
+        pin_to_cpu(proc._identity[0] - 1)
+        force_cpu_f64(threads=1)
+    else:
+        force_cpu_f64()
     row = run_one(**kwargs)
     print(json.dumps(row), flush=True)
     return row

@@ -113,6 +113,10 @@ def run_image_benchmark(sequence: str = "MH_05_difficult",
         "initialized": bool(est.initialized),
         "tracker_ms_mean": float(tr.mean() * 1e3) if len(tr) else None,
         "tracker_ms_p50": float(np.median(tr) * 1e3) if len(tr) else None,
+        "selector_ms_p50": float(np.median(res.diag.sel_s[5:]) * 1e3)
+        if len(res.diag.sel_s) > 5 else None,
+        "solver_ms_p50": float(np.median(res.diag.solve_s[5:]) * 1e3)
+        if len(res.diag.solve_s) > 5 else None,
         "render_ms_mean": float(np.mean(render_times[5:]) * 1e3),
         "wall_s": round(wall, 1),
     }
@@ -123,6 +127,8 @@ def run_image_benchmark(sequence: str = "MH_05_difficult",
 
 if __name__ == "__main__":
     import argparse
+    from anticipated_vins_mono_tpu.utils.jaxenv import force_cpu_f64
+    force_cpu_f64()
     ap = argparse.ArgumentParser()
     ap.add_argument("--sequence", default="MH_05_difficult")
     ap.add_argument("--seconds", type=float, default=45.0)

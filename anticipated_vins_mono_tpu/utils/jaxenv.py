@@ -12,25 +12,52 @@ from __future__ import annotations
 import os
 
 
-def force_cpu_f64(devices: int | None = None) -> None:
+def pin_to_cpu(idx: int) -> None:
+    """Pin this process to one physical core (disjoint per grid worker):
+    the reliable way to stop N jax-CPU workers × nproc Eigen threads from
+    thrashing a small host ~10×."""
+    try:
+        n = os.cpu_count() or 1
+        os.sched_setaffinity(0, {idx % n})
+    except (AttributeError, OSError):
+        pass
+
+
+def force_cpu_f64(devices: int | None = None,
+                  threads: int | None = None) -> None:
     """Force the CPU backend + f64 for this process. Must be called before
     JAX initializes a backend (asserts if too late). `devices` optionally
-    sets a virtual host-device count (sharding tests)."""
+    sets a virtual host-device count (sharding tests); `threads` caps XLA's
+    intra-op Eigen pool (ESSENTIAL for multi-process grid runs — N workers
+    each spawning nproc threads thrash the machine ~10×)."""
     os.environ.pop("PALLAS_AXON_POOL_IPS", None)
     os.environ["JAX_PLATFORMS"] = "cpu"
-    if devices is not None:
-        flags = os.environ.get("XLA_FLAGS", "")
-        if "xla_force_host_platform_device_count" not in flags:
-            os.environ["XLA_FLAGS"] = (
-                flags + f" --xla_force_host_platform_device_count={devices}"
-            ).strip()
+    flags = os.environ.get("XLA_FLAGS", "")
+    if devices is not None and \
+            "xla_force_host_platform_device_count" not in flags:
+        flags += f" --xla_force_host_platform_device_count={devices}"
+    if threads is not None:
+        if threads <= 1:
+            flags += " --xla_cpu_multi_thread_eigen=false"
+        os.environ["OMP_NUM_THREADS"] = str(threads)
+        os.environ["OPENBLAS_NUM_THREADS"] = str(threads)
+    os.environ["XLA_FLAGS"] = flags.strip()
     import jax
 
     try:
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_enable_x64", True)
+        # persistent compile cache: grid cells share solver shapes — without
+        # this every subprocess pays the full ~minutes compile again
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
     except RuntimeError:
         pass  # backend already up — the assert below is the real check
+    if threads is not None:
+        try:
+            jax.config.update("jax_cpu_intra_op_parallelism_threads", threads)
+        except Exception:
+            pass
     assert jax.default_backend() == "cpu", (
         "CPU steering came too late — a backend was already initialized: "
         + jax.default_backend())

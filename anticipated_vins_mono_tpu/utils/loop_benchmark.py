@@ -1,0 +1,165 @@
+"""End-to-end loop-closure benchmark: drifting VIO around a rendered
+multi-lap circuit, with and without the pose-graph feedback loop.
+
+The reference's loop-closure evaluation is qualitative (RViz + the
+vins_result_loop.csv trajectory written by pose_graph_node.cpp:501-503).
+Here it is quantified: the SAME noisy measurement stream is run twice —
+raw VIO (vins_result_no_loop analog) vs VIO + LoopClosureNode (detectLoop →
+findConnection → setReloFrame relocalization → 4-DoF PGO → drift-corrected
+output = vins_result_loop analog) — and both ATEs are reported.
+
+Landmarks are grounded at rendered-texture corners (detect → backproject to
+the walls), so the simulator's feature tracks and the keyframe imagery
+BRIEF descriptors refer to the same physical wall points — the contract
+the reference gets for free by tracking real pixels.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import jax.numpy as jnp
+
+from anticipated_vins_mono_tpu.models.estimator import VioEstimator
+from anticipated_vins_mono_tpu.models.loop_node import LoopClosureNode
+from anticipated_vins_mono_tpu.models import posegraph as pg
+from anticipated_vins_mono_tpu.ops import cameras, lie
+from anticipated_vins_mono_tpu.ops.window import WindowConfig
+from anticipated_vins_mono_tpu.utils import render
+from anticipated_vins_mono_tpu.utils.metrics import ate_rmse, write_tum
+from anticipated_vins_mono_tpu.utils.sequence import SequenceSimulator
+from anticipated_vins_mono_tpu.utils.synthetic import loop_trajectory
+
+
+def grounded_landmarks(world, cam, rays, traj, R_all, n_views: int = 24,
+                       per_view: int = 120, min_sep: float = 0.12,
+                       lap_frac: float = 0.34) -> np.ndarray:
+    """Detect corners in rendered views along (one lap of) the circuit and
+    backproject them onto the walls → landmark field at visual anchors."""
+    from anticipated_vins_mono_tpu.models import frontend as fe
+    n = int(len(traj.t) * lap_frac)
+    ks = np.linspace(0, n - 1, n_views).astype(int)
+    pts, grid = [], set()
+    inv = 1.0 / min_sep
+    for k in ks:
+        img = render.render_frame(world, cam, rays, traj.p[k], R_all[k])
+        uv, _s, valid = fe.detect_features(
+            jnp.asarray(img, jnp.float32),
+            jnp.zeros_like(jnp.asarray(img, jnp.float32)),
+            per_view, min_dist=10)
+        uv = np.asarray(uv)[np.asarray(valid) > 0]
+        X = render.backproject(world, cam, uv, traj.p[k], R_all[k])
+        for x in X:
+            key = tuple((x * inv).astype(int))
+            if key not in grid:
+                grid.add(key)
+                pts.append(x)
+    return np.stack(pts)
+
+
+def run_loop_benchmark(duration: float = 90.0, laps: float = 3.0,
+                       radius: float = 3.0, width: int = 752,
+                       height: int = 480, seed: int = 0,
+                       pixel_noise: float = 0.5,
+                       imu_acc_sigma: float = 0.25,
+                       imu_gyr_sigma: float = 0.012,
+                       imu_acc_bias: float = 0.06,
+                       imu_gyr_bias: float = 0.004,
+                       sim_hi: float = 0.32,
+                       out_prefix: str | None = None,
+                       kf_stride: int = 2, verbose: bool = False) -> dict:
+    """Returns {'ate_vio':…, 'ate_loop':…, 'loops':…} (meters)."""
+    fx = 0.6 * width
+    cam = cameras.PinholeCamera.create(fx, fx, width / 2.0, height / 2.0,
+                                       width=width, height=height)
+    traj = loop_trajectory(duration, laps=laps, radius=radius)
+    world = render.make_box_world(traj.p, margin=5.0, seed=seed)
+    rays = render.camera_rays(cam)
+    R_all = np.asarray(lie.quat_to_rot(jnp.asarray(traj.q)))
+    lms = grounded_landmarks(world, cam, rays, traj, R_all)
+
+    def make_sim():
+        return SequenceSimulator(
+            traj, seed=seed, landmarks=lms, pixel_noise=pixel_noise,
+            max_features=150, depth_range=(0.5, 30.0),
+            fov_x=(width / 2.0) / fx, fov_y=(height / 2.0) / fx,
+            imu_acc_sigma=imu_acc_sigma, imu_gyr_sigma=imu_gyr_sigma,
+            imu_acc_bias=imu_acc_bias, imu_gyr_bias=imu_gyr_bias)
+
+    wcfg = WindowConfig(window=10, max_feats=192, iters=8)
+
+    if verbose:
+        print(f"[loop_bench] {len(lms)} grounded landmarks", flush=True)
+
+    # ---- pass 1: raw VIO (vins_result_no_loop)
+    est = VioEstimator(wcfg)
+    for i, fm in enumerate(make_sim().frames()):
+        est.process_frame(fm)
+        if verbose and i % 100 == 0:
+            print(f"[loop_bench] vio pass frame {i}", flush=True)
+    t_v = np.array([x[0] for x in est.trajectory])
+    p_v = np.stack([x[1] for x in est.trajectory])
+    q_v = np.stack([x[2] for x in est.trajectory])
+    ate_vio = ate_rmse(t_v, p_v, traj.t, traj.p)
+
+    # ---- pass 2: VIO + loop closure (vins_result_loop)
+    est2 = VioEstimator(wcfg)
+    node = LoopClosureNode(cam=cam, graph=pg.PoseGraph(),
+                           sim_hi=sim_hi, skip_cnt=kf_stride - 1)
+    out = []
+    for i, fm in enumerate(make_sim().frames()):
+        if verbose and i % 100 == 0:
+            print(f"[loop_bench] loop pass frame {i} "
+                  f"(kfs={len(node.entries)} loops={len(node.loops)})",
+                  flush=True)
+        n_before = len(est2.trajectory)
+        est2.process_frame(fm)
+        if len(est2.trajectory) < n_before:
+            # estimator restarted its outputs (initialization or failure
+            # reboot cleared the trajectory) — restart ours identically
+            out = []
+            n_before = 0
+        if est2.last_keyframe is not None:
+            k = int(round(fm.t * 200.0))
+            k = min(k, len(traj.t) - 1)
+            img = render.render_frame(world, cam, rays, traj.p[k], R_all[k])
+            node.on_keyframe(img, est2.last_keyframe, est2)
+        for tt, pp, qq, _vv in est2.trajectory[n_before:]:
+            pc, qc = node.correct_pose(pp, qq)
+            out.append((tt, pc, qc))
+    t_l = np.array([x[0] for x in out])
+    p_l = np.stack([x[1] for x in out])
+    q_l = np.stack([x[2] for x in out])
+    ate_loop = ate_rmse(t_l, p_l, traj.t, traj.p)
+
+    if out_prefix:
+        write_tum(out_prefix + "_vio.tum", t_v, p_v, q_v)
+        write_tum(out_prefix + "_loop.tum", t_l, p_l, q_l)
+    return {
+        "benchmark": "loop_closure_runtime",
+        "duration_s": duration, "laps": laps,
+        "landmarks": int(len(lms)),
+        "keyframes": len(node.entries),
+        "loops_accepted": len(node.loops),
+        "ate_vio": float(ate_vio), "ate_loop": float(ate_loop),
+        "improvement": float(ate_vio / max(ate_loop, 1e-9)),
+        "vio_failures": est2.diag.failures,
+    }
+
+
+if __name__ == "__main__":
+    import argparse
+    from anticipated_vins_mono_tpu.utils.jaxenv import force_cpu_f64
+    force_cpu_f64()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--duration", type=float, default=90.0)
+    ap.add_argument("--laps", type=float, default=3.0)
+    ap.add_argument("--width", type=int, default=752)
+    ap.add_argument("--height", type=int, default=480)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out-prefix", default=None)
+    a = ap.parse_args()
+    print(json.dumps(run_loop_benchmark(
+        a.duration, a.laps, width=a.width, height=a.height, seed=a.seed,
+        out_prefix=a.out_prefix)))

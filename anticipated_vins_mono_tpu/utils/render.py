@@ -129,3 +129,22 @@ def render_frame(world: BoxWorld, cam, rays_c: jax.Array,
     vals = render_rays(world, rays_c, jnp.asarray(p_wc, jnp.float32),
                        jnp.asarray(R_wc, jnp.float32))
     return np.asarray(vals).reshape(cam.height, cam.width)
+
+
+def backproject(world: BoxWorld, cam, uv: np.ndarray, p_wc: np.ndarray,
+                R_wc: np.ndarray) -> np.ndarray:
+    """Pixel coords [N,2] → 3-D hit points on the box walls (the renderer's
+    exact ray-AABB geometry) for the camera at (p_wc, R_wc). Grounds image
+    corners as world landmarks: a detected texture corner backprojected here
+    IS a revisit-consistent wall point (the visual anchor BRIEF matching
+    needs across visits)."""
+    rays = np.array(cameras.lift_projective(
+        cam, jnp.asarray(uv, jnp.float32)))
+    rays /= np.linalg.norm(rays, axis=-1, keepdims=True)
+    d = rays @ np.asarray(R_wc).T
+    d = np.where(np.abs(d) < 1e-9, 1e-9, d)
+    lo, hi = np.asarray(world.lo), np.asarray(world.hi)
+    t_axis = np.where(d > 0, (hi[None] - p_wc[None]) / d,
+                      (lo[None] - p_wc[None]) / d)
+    t_hit = t_axis.min(-1)
+    return p_wc[None] + t_hit[:, None] * d

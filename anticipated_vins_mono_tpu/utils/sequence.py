@@ -55,12 +55,29 @@ class SequenceSimulator:
     # the reference's Quality variant diverges (results.tex:41-43).
     # "iid": quality independent per landmark.
     quality_mode: str = "spatial"
+    # spatial correlation length as a fraction of the world extent. Small
+    # fractions = patch-scale clusters (real GFTT: corner-rich texture
+    # patches score high together) — keeps quality VARIANCE inside each
+    # view (needed for any policy separation) while still clustering the
+    # top-κ in image space. Large fractions make whole regions uniform,
+    # which erases in-view variance and with it the separation.
+    quality_wavelen_frac: tuple = (0.04, 0.15)
+    # quality marginal Beta(a,b): (5,2) = mostly-good trackers; (2,2) =
+    # wide spread (harsh track-loss separation between policies)
+    quality_beta: tuple = (5.0, 2.0)
     tic: np.ndarray | None = None
     qic: np.ndarray | None = None
     # explicit landmark positions [N,3]; None → uniform box around the
     # trajectory (wall_landmarks() gives revisit-consistent surface points
     # for loop-closure scenarios)
     landmarks: np.ndarray | None = None
+    # IMU corruption (per-sample white noise std + constant bias magnitude)
+    # — drives realistic odometry drift for loop-closure evaluation; on its
+    # own rng stream so enabling it never shifts the track-selection draws
+    imu_acc_sigma: float = 0.0
+    imu_gyr_sigma: float = 0.0
+    imu_acc_bias: float = 0.0
+    imu_gyr_bias: float = 0.0
 
     def __post_init__(self):
         rng = np.random.default_rng(self.seed)
@@ -75,13 +92,16 @@ class SequenceSimulator:
         # below must not depend on quality_mode (keeps scenarios comparable
         # across modes and releases)
         qrng = np.random.default_rng(self.seed + 777_001)
-        marginal = np.sort(qrng.beta(5.0, 2.0, size=self.n_landmarks))
+        qa, qb = self.quality_beta
+        marginal = np.sort(qrng.beta(qa, qb, size=self.n_landmarks))
         if self.quality_mode == "spatial":
             # smooth random field over position; rank-map onto the same
-            # beta(5,2) marginal so only the spatial structure changes
+            # beta marginal so only the spatial structure changes
             k = qrng.normal(size=(6, 3))
             k /= np.linalg.norm(k, axis=1, keepdims=True)
-            wavelen = qrng.uniform(1.5, 4.0, size=6)
+            extent = float(np.linalg.norm(hi - lo))
+            w_lo, w_hi = self.quality_wavelen_frac
+            wavelen = qrng.uniform(w_lo * extent, w_hi * extent, size=6)
             phase = qrng.uniform(0, 2 * np.pi, size=6)
             amp = qrng.uniform(0.5, 1.0, size=6)
             raw = sum(a * np.cos(2 * np.pi / w * self.landmarks @ kk + ph)
@@ -89,6 +109,20 @@ class SequenceSimulator:
             self.lm_quality = marginal[np.argsort(np.argsort(raw))]
         else:
             self.lm_quality = marginal[qrng.permutation(self.n_landmarks)]
+        # corrupted IMU streams, precomputed so adjacent frames share the
+        # exact boundary sample (acc0 of frame f == last sample of f-1)
+        nrng = np.random.default_rng(self.seed + 777_002)
+        n_s = len(t.t)
+        self._acc = np.asarray(t.acc_body, float)
+        self._gyr = np.asarray(t.gyr_body, float)
+        if (self.imu_acc_sigma or self.imu_gyr_sigma
+                or self.imu_acc_bias or self.imu_gyr_bias):
+            ba = nrng.normal(size=3) * self.imu_acc_bias
+            bg = nrng.normal(size=3) * self.imu_gyr_bias
+            self._acc = (self._acc + ba
+                         + nrng.normal(size=(n_s, 3)) * self.imu_acc_sigma)
+            self._gyr = (self._gyr + bg
+                         + nrng.normal(size=(n_s, 3)) * self.imu_gyr_sigma)
         self.rng = rng
         self.tracked: dict = {}
         # landmark-idx → feature id; ids are MONOTONICALLY increasing like
@@ -159,6 +193,6 @@ class SequenceSimulator:
             yield FrameMeasurement(
                 t=float(t.t[k]), feats=feats,
                 imu_dts=np.diff(t.t[s:k + 1]) if k > 0 else np.zeros(0),
-                imu_acc=t.acc_body[s + 1:k + 1] if k > 0 else np.zeros((0, 3)),
-                imu_gyr=t.gyr_body[s + 1:k + 1] if k > 0 else np.zeros((0, 3)),
-                acc0=t.acc_body[s], gyr0=t.gyr_body[s])
+                imu_acc=self._acc[s + 1:k + 1] if k > 0 else np.zeros((0, 3)),
+                imu_gyr=self._gyr[s + 1:k + 1] if k > 0 else np.zeros((0, 3)),
+                acc0=self._acc[s], gyr0=self._gyr[s])

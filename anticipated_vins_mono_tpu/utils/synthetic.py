@@ -238,29 +238,46 @@ def make_window_problem(cfg: WindowConfig,
 
 
 def loop_trajectory(duration: float, laps: float = 3.0, radius: float = 3.0,
-                    imu_rate: float = 200.0, bob: float = 0.25) -> Trajectory:
-    """Multi-lap circular circuit with the camera (body +z) looking along the
+                    imu_rate: float = 200.0, bob: float = 0.25,
+                    wobble: float = 0.12) -> Trajectory:
+    """Multi-lap circuit with the camera (body +z) looking along the
     direction of travel — the canonical loop-closure scenario: every lap
     revisits the same poses, so place recognition has ground-truth positives
     and the pose graph has real loops to close. Analytic p/v/a; orientation
-    is pure yaw following the tangent (ω_body = (0, −θ̇, 0) with body y down),
-    plus a vertical bob that repeats per lap (revisit-consistent).
+    is pure yaw following the base-circle tangent (ω_body = (0, −θ̇, 0)
+    with body y down).
+
+    The radius wobbles at 3θ and the height bobs at 2θ — both functions of
+    the lap angle, so revisits stay exact, BUT the body-frame accelerometer
+    is no longer constant. A pure circle at constant rate has constant
+    specific force in the body frame (centripetal + gravity both fixed),
+    which is a degenerate case for visual-inertial alignment — scale and
+    velocity are barely observable and the estimator drifts meters even
+    noise-free (cf. the IMU-excitation check, estimator.cpp:214-241).
     """
     dt = 1.0 / imu_rate
     n = int(round(duration * imu_rate)) + 1
     t = np.arange(n) * dt
     th_rate = 2.0 * np.pi * laps / duration
     th = th_rate * t
-    wb = 2.0 * np.pi * laps / duration  # bob once per lap
 
-    p = np.stack([radius * np.cos(th), radius * np.sin(th),
-                  bob * np.sin(wb * t)], axis=-1)
-    v = np.stack([-radius * th_rate * np.sin(th),
-                  radius * th_rate * np.cos(th),
-                  bob * wb * np.cos(wb * t)], axis=-1)
-    a = np.stack([-radius * th_rate ** 2 * np.cos(th),
-                  -radius * th_rate ** 2 * np.sin(th),
-                  -bob * wb * wb * np.sin(wb * t)], axis=-1)
+    a3 = wobble * radius
+    r = radius + a3 * np.sin(3 * th)
+    dr = 3 * a3 * np.cos(3 * th)          # d r / dθ
+    ddr = -9 * a3 * np.sin(3 * th)
+    cth, sth = np.cos(th), np.sin(th)
+    # p(θ), dp/dθ, d²p/dθ² — chain rule with θ̇ = const
+    x, y = r * cth, r * sth
+    dx = dr * cth - r * sth
+    dy = dr * sth + r * cth
+    ddx = ddr * cth - 2 * dr * sth - r * cth
+    ddy = ddr * sth + 2 * dr * cth - r * sth
+    z = bob * np.sin(2 * th)
+    dz = 2 * bob * np.cos(2 * th)
+    ddz = -4 * bob * np.sin(2 * th)
+    p = np.stack([x, y, z], axis=-1)
+    v = np.stack([dx, dy, dz], axis=-1) * th_rate
+    a = np.stack([ddx, ddy, ddz], axis=-1) * th_rate ** 2
 
     # R_wb(θ) = Rz(θ)·Rx(−90°): body x radially outward, y down, z along
     # the tangent (camera-style axes). Hamilton product q = qz(θ) ⊗ qx(−90°)
