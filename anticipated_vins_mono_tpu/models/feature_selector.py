@@ -68,6 +68,19 @@ def _device_select(cfg: ant.SelectorConfig, kappa: int, n_imu: int,
     Omega = Omega + jnp.sum(D_used, axis=0)
     sel, OmF = ant.select_informative(
         Omega, Deltas, cand_probs, cand_valid * (nvis >= 2), kappa)
+    # backfill to κ by tracking probability when anticipation finds fewer
+    # informative candidates than budget (fast rotation can FOV-gate every
+    # candidate out of the horizon; the reference's greedy still fills κ —
+    # zero-gain candidates tie and argmax picks one, :657-681 — so a
+    # budget-starved backend is an artifact we must not introduce)
+    F = cand_probs.shape[0]
+    n_sel = jnp.sum(sel)
+    score = jnp.where((cand_valid > 0) & (sel < 0.5), cand_probs, -jnp.inf)
+    order = jnp.argsort(-score)
+    rank = jnp.zeros(F, sel.dtype).at[order].set(
+        jnp.arange(F, dtype=sel.dtype))
+    extra = (rank < (kappa - n_sel)) & jnp.isfinite(score)
+    sel = jnp.minimum(sel + extra.astype(sel.dtype), 1.0)
     return sel, OmF, ps, qs
 
 

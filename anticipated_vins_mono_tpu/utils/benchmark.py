@@ -74,12 +74,17 @@ def run_one(sequence: str, policy: Optional[str] = "anticipate",
             kappa: int = 30, max_seconds: Optional[float] = 60.0,
             detect_count: int = 150, pixel_noise: float = 0.5,
             track_loss_rate: float = 0.0, n_landmarks: int = 8000,
+            quality_beta: tuple = (5.0, 2.0),
+            quality_noise_scale: float = 0.0, slip_rate: float = 0.0,
             real_extrinsics: bool = False, hgen: str = "imu",
+            cam_td: float = 0.0, estimate_td: bool = False,
             out_dir: Optional[str] = None, seed: int = 0,
             dtype: str = "f64") -> dict:
     """One (sequence, policy, κ) cell. policy=None disables selection
     (all detected features go to the backend). max_seconds=None runs the
-    full GT length. hgen: "imu" | "gt" horizon mode."""
+    full GT length. hgen: "imu" | "gt" horizon mode. cam_td injects a true
+    camera-IMU time offset; estimate_td turns on its online estimation
+    (yaml:73, projection_td_factor parity)."""
     traj = euroc.load_sequence(sequence, max_seconds=max_seconds)
     tic = qic = None
     if real_extrinsics:
@@ -88,8 +93,13 @@ def run_one(sequence: str, policy: Optional[str] = "anticipate",
                             max_features=detect_count,
                             n_landmarks=n_landmarks,
                             track_loss_rate=track_loss_rate,
+                            quality_beta=tuple(quality_beta),
+                            quality_noise_scale=quality_noise_scale,
+                            slip_rate=slip_rate,
+                            cam_td=cam_td,
                             tic=tic, qic=qic)
-    wcfg = WindowConfig(window=10, max_feats=192, iters=8)
+    wcfg = WindowConfig(window=10, max_feats=192, iters=8,
+                        estimate_td=estimate_td)
     sel = None
     if policy is not None:
         # init_threshold=30 matches the reference euroc config
@@ -122,6 +132,12 @@ def run_one(sequence: str, policy: Optional[str] = "anticipate",
         "initialized": bool(est.initialized),
         "wall_s": round(t.toc(), 1),
     }
+    if estimate_td or cam_td:
+        row["cam_td"] = cam_td
+        row["td_est"] = float(est.td)
+    if quality_noise_scale or slip_rate:
+        row["quality_noise_scale"] = quality_noise_scale
+        row["slip_rate"] = slip_rate
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
         write_tum(os.path.join(out_dir, f"{sequence}_{policy}_k{kappa}.tum"),
@@ -184,10 +200,14 @@ if __name__ == "__main__":
     ap.add_argument("--seconds", type=float, default=60.0)
     ap.add_argument("--full-length", action="store_true")
     ap.add_argument("--track-loss", type=float, default=0.0)
+    ap.add_argument("--quality-noise-scale", type=float, default=0.0)
+    ap.add_argument("--slip-rate", type=float, default=0.0)
     ap.add_argument("--real-extrinsics", action="store_true")
     ap.add_argument("--hgen", default="imu", choices=["imu", "gt"])
     ap.add_argument("--seeds", nargs="*", type=int, default=[0])
     ap.add_argument("--workers", type=int, default=1)
+    ap.add_argument("--cam-td", type=float, default=0.0)
+    ap.add_argument("--estimate-td", action="store_true")
     ap.add_argument("--out", default="/tmp/avm_bench")
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
@@ -195,7 +215,10 @@ if __name__ == "__main__":
         args.sequences, args.policies, kappas=args.kappas,
         max_seconds=None if args.full_length else args.seconds,
         track_loss_rate=args.track_loss,
+        quality_noise_scale=args.quality_noise_scale,
+        slip_rate=args.slip_rate,
         real_extrinsics=args.real_extrinsics, hgen=args.hgen,
+        cam_td=args.cam_td, estimate_td=args.estimate_td,
         seeds=args.seeds, n_workers=args.workers, out_dir=args.out)
     if args.json_out:
         with open(args.json_out, "w") as f:

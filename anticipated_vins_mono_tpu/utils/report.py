@@ -62,5 +62,37 @@ def render_results(grid_path: str = "/root/repo/results/grid.json",
     return text
 
 
+def aggregate_separation(paths, diverged_at: float = 1.0) -> str:
+    """Aggregate κ=10 policy-separation runs (multi-seed) into a markdown
+    table: median ATE over CONVERGED seeds + divergence count per
+    (sequence, policy, hgen). The reference reports exactly this failure
+    structure — its own κ=30 MH_05 anticipate cell is 'DIVERGED 10881 m'
+    (results.tex:49) — so divergence rate is a first-class outcome, not an
+    outlier to hide."""
+    rows = []
+    for p in paths:
+        rows += json.load(open(p))
+    by = defaultdict(list)
+    for r in rows:
+        key = (r["sequence"], r["policy"], r.get("hgen", "imu"))
+        by[key].append(r)
+    import numpy as np
+    lines = ["| sequence | policy | hgen | median ATE (conv.) | diverged |",
+             "|---|---|---|---|---|"]
+    for key in sorted(by):
+        rs = by[key]
+        ates = np.array([r["ate_rmse"] for r in rs])
+        conv = ates[ates < diverged_at]
+        med = f"{np.median(conv):.3f} m" if len(conv) else "—"
+        lines.append(
+            f"| {key[0]} | {key[1]} | {key[2]} | {med} | "
+            f"{int((ates >= diverged_at).sum())}/{len(ates)} |")
+    return "\n".join(lines)
+
+
 if __name__ == "__main__":
-    print(render_results())
+    import sys
+    if len(sys.argv) > 1:
+        print(aggregate_separation(sys.argv[1:]))
+    else:
+        print(render_results())

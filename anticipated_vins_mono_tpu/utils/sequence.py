@@ -48,6 +48,20 @@ class SequenceSimulator:
     # loss_rate·(1−quality) per frame — making selection policies that use
     # p_ℓ (quality / anticipate) meaningfully different from random
     track_loss_rate: float = 0.0
+    # localization error scales with (1−quality): a weak corner localizes
+    # worse under LK — per-feature pixel noise std becomes
+    # pixel_noise·(1 + quality_noise_scale·(1−q)). 0 = uniform noise.
+    quality_noise_scale: float = 0.0
+    # track SLIP: with per-frame probability slip_rate·(1−q)² a tracked
+    # feature jumps to a nearby wrong point and keeps being tracked THERE
+    # (persistent offset) — the classic LK aperture/occlusion failure that
+    # produces the outliers the reference's prob channel exists to predict
+    # (feature_tracker.cpp:300-343). The tracker doesn't know it slipped:
+    # prob stays at the feature's quality, the measurement is silently
+    # wrong, and only the backend's Cauchy loss (estimator.cpp:666) stands
+    # between one bad selection and a corrupted window.
+    slip_rate: float = 0.0
+    slip_px: float = 12.0
     # "spatial": quality varies smoothly over the world (real GFTT scores
     # are spatially correlated — corner-rich texture patches score high
     # together), so a pure top-κ-by-score policy concentrates its budget in
@@ -67,6 +81,11 @@ class SequenceSimulator:
     quality_beta: tuple = (5.0, 2.0)
     tic: np.ndarray | None = None
     qic: np.ndarray | None = None
+    # true camera-IMU time offset: image content is sampled at t+cam_td
+    # while the frame is STAMPED t (the reference models exactly this skew,
+    # estimator_node.cpp's td handling + projection_td_factor.cpp:50-52) —
+    # lets a grid cell exercise online td estimation end-to-end
+    cam_td: float = 0.0
     # explicit landmark positions [N,3]; None → uniform box around the
     # trajectory (wall_landmarks() gives revisit-consistent surface points
     # for loop-closure scenarios)
@@ -137,6 +156,7 @@ class SequenceSimulator:
             self.qic = np.array([1.0, 0, 0, 0])
         self.R_ic = np.asarray(lie.quat_to_rot(jnp.asarray(self.qic)))
         self._prev_pts: dict = {}
+        self._slip: dict = {}   # landmark idx -> persistent normalized offset
 
     def _visible(self, k: int):
         """Landmark ids visible from frame-index k (into the IMU-rate traj)."""
@@ -157,9 +177,11 @@ class SequenceSimulator:
         if n_frames is not None:
             total = min(total, n_frames)
         dt_frame = None
+        td_samp = int(round(self.cam_td * 200.0))
         for f in range(total):
             k = f * stride
-            ok, pts = self._visible(k)
+            k_img = int(np.clip(k + td_samp, 0, len(t.t) - 1))
+            ok, pts = self._visible(k_img)
             vis_ids = set(np.nonzero(ok)[0].tolist())
 
             kept = {i for i in self.tracked if i in vis_ids}
@@ -178,12 +200,23 @@ class SequenceSimulator:
                 kept |= set(newly)
             self.tracked = {i: self.tracked.get(i, 0) + 1 for i in kept}
 
+            if self._slip:
+                self._slip = {i: o for i, o in self._slip.items() if i in kept}
             feats = {}
             dt_f = stride / 200.0
             for i in kept:
                 pt = pts[i].copy()
+                q_i = float(self.lm_quality[i])
+                if self.slip_rate > 0 and self.tracked.get(i, 0) > 1 and \
+                        self.rng.random() < self.slip_rate * (1.0 - q_i) ** 2:
+                    self._slip[i] = self._slip.get(i, 0.0) + \
+                        self.rng.normal(size=2) * self.slip_px / 460.0
+                if i in self._slip:
+                    pt[:2] += self._slip[i]
                 if self.pixel_noise > 0:
-                    pt[:2] += self.rng.normal(size=2) * self.pixel_noise / 460.0
+                    sigma = self.pixel_noise * \
+                        (1.0 + self.quality_noise_scale * (1.0 - q_i))
+                    pt[:2] += self.rng.normal(size=2) * sigma / 460.0
                 prev = self._prev_pts.get(i)
                 vel = (pt[:2] - prev[:2]) / dt_f if prev is not None else np.zeros(2)
                 feats[self._id_of[i]] = (pt, vel, float(self.lm_quality[i]))

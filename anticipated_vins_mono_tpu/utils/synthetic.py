@@ -239,7 +239,8 @@ def make_window_problem(cfg: WindowConfig,
 
 def loop_trajectory(duration: float, laps: float = 3.0, radius: float = 3.0,
                     imu_rate: float = 200.0, bob: float = 0.25,
-                    wobble: float = 0.12) -> Trajectory:
+                    wobble: float = 0.12, rate_mod: float = 0.4,
+                    rate_mod_freq: float = 2.0) -> Trajectory:
     """Multi-lap circuit with the camera (body +z) looking along the
     direction of travel — the canonical loop-closure scenario: every lap
     revisits the same poses, so place recognition has ground-truth positives
@@ -254,19 +255,36 @@ def loop_trajectory(duration: float, laps: float = 3.0, radius: float = 3.0,
     which is a degenerate case for visual-inertial alignment — scale and
     velocity are barely observable and the estimator drifts meters even
     noise-free (cf. the IMU-excitation check, estimator.cpp:214-241).
+
+    `rate_mod` additionally modulates the lap rate in TIME,
+    θ̇(t) = ω̄·(1 + m·cos(ω_m t)) — every pose is still a pure function of
+    θ so revisits stay exact, but the first seconds (where visual-inertial
+    alignment estimates scale/gravity from a ~1 s window) now see strongly
+    time-varying specific force AND gyro rate. Without it the init window
+    is near-degenerate: measured scale 2.5× off at init, recovering only
+    after ~8 s of flight (v-ratio 0.41 → 0.97 over the run).
     """
     dt = 1.0 / imu_rate
     n = int(round(duration * imu_rate)) + 1
     t = np.arange(n) * dt
     th_rate = 2.0 * np.pi * laps / duration
-    th = th_rate * t
+    if rate_mod != 0.0:
+        wm = rate_mod_freq
+        th = th_rate * (t + (rate_mod / wm) * np.sin(wm * t))
+        th_dot = th_rate * (1.0 + rate_mod * np.cos(wm * t))
+        th_ddot = -th_rate * rate_mod * wm * np.sin(wm * t)
+    else:
+        th = th_rate * t
+        th_dot = np.full(n, th_rate)
+        th_ddot = np.zeros(n)
 
     a3 = wobble * radius
     r = radius + a3 * np.sin(3 * th)
     dr = 3 * a3 * np.cos(3 * th)          # d r / dθ
     ddr = -9 * a3 * np.sin(3 * th)
     cth, sth = np.cos(th), np.sin(th)
-    # p(θ), dp/dθ, d²p/dθ² — chain rule with θ̇ = const
+    # p(θ), dp/dθ, d²p/dθ² — chain rule with time-varying θ̇:
+    # v = p′(θ)·θ̇, a = p″(θ)·θ̇² + p′(θ)·θ̈
     x, y = r * cth, r * sth
     dx = dr * cth - r * sth
     dy = dr * sth + r * cth
@@ -276,19 +294,29 @@ def loop_trajectory(duration: float, laps: float = 3.0, radius: float = 3.0,
     dz = 2 * bob * np.cos(2 * th)
     ddz = -4 * bob * np.sin(2 * th)
     p = np.stack([x, y, z], axis=-1)
-    v = np.stack([dx, dy, dz], axis=-1) * th_rate
-    a = np.stack([ddx, ddy, ddz], axis=-1) * th_rate ** 2
+    dp = np.stack([dx, dy, dz], axis=-1)
+    ddp = np.stack([ddx, ddy, ddz], axis=-1)
+    v = dp * th_dot[:, None]
+    a = ddp * th_dot[:, None] ** 2 + dp * th_ddot[:, None]
 
-    # R_wb(θ) = Rz(θ)·Rx(−90°): body x radially outward, y down, z along
-    # the tangent (camera-style axes). Hamilton product q = qz(θ) ⊗ qx(−90°)
-    # with qz = [c,0,0,s], q0 = [s2,−s2,0,0]:
-    #   w = c·s2, x = −c·s2, y = s·(−s2) (z1·x2 term), z = s·s2
+    # R_wb(θ) = Rz(θ)·R0 with the camera (+z body) pointing RADIALLY
+    # OUTWARD and body y down. Outward-looking matters: along-track (+z =
+    # tangent) viewing puts every feature near the focus of expansion,
+    # where translational parallax vanishes — the degenerate monocular
+    # geometry (measured: scale error 0.35-1.4× on this circuit). Lateral
+    # viewing sweeps the walls sideways → strong parallax per frame, and
+    # each lap re-images the same wall head-on for loop closure.
+    # R0 = [[0,0,1],[−1,0,0],[0,−1,0]] (columns: x_b=−ŷ_w, y_b=−ẑ_w,
+    # z_b=x̂_w at θ=0); ω_body = R_wbᵀ(0,0,θ̇) = (0,−θ̇,0) as before.
+    R0 = np.array([[0.0, 0.0, 1.0], [-1.0, 0.0, 0.0], [0.0, -1.0, 0.0]])
+    q0 = np.asarray(lie.rot_to_quat(jnp.asarray(R0)))
     half = 0.5 * th
     c, s = np.cos(half), np.sin(half)
-    s2 = np.sqrt(0.5)
-    q = np.stack([c * s2, -c * s2, -s * s2, s * s2], -1)
+    qz = np.stack([c, np.zeros_like(c), np.zeros_like(c), s], -1)
+    q = np.asarray(lie.quat_mul(jnp.asarray(qz),
+                                jnp.broadcast_to(jnp.asarray(q0), qz.shape)))
 
-    gyr = np.tile(np.array([0.0, -th_rate, 0.0]), (n, 1))
+    gyr = np.stack([np.zeros(n), -th_dot, np.zeros(n)], axis=-1)
     R = np.asarray(lie.quat_to_rot(jnp.asarray(q)))
     acc_body = np.einsum("nij,nj->ni", R.transpose(0, 2, 1), a - G_W)
     return Trajectory(t, p, q, v, acc_body, gyr)
