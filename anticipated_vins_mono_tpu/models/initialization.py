@@ -237,6 +237,9 @@ def pnp_gn(X_w, x_obs, R0, p0, iters=10):
 
     Replaces cv::solvePnP with iterative-refinement init
     (initial_sfm.cpp:23-72). R0/p0: initial world→cam rotation + cam center.
+    Returns None on a degenerate/non-finite system — the caller treats it
+    like the reference treats a solvePnP failure (initial_sfm.cpp:159-163:
+    abandon this init attempt, try again on a later frame).
     """
     R, p = R0.copy(), p0.copy()
     for _ in range(iters):
@@ -255,7 +258,12 @@ def pnp_gn(X_w, x_obs, R0, p0, iters=10):
             J[2 * k: 2 * k + 2, 0:3] = d_proj @ d_rot
             J[2 * k: 2 * k + 2, 3:6] = d_proj @ (-R)
         H = J.T @ J + 1e-9 * np.eye(6)
-        dx = np.linalg.solve(H, -J.T @ r)
+        if not np.all(np.isfinite(H)):
+            return None
+        try:
+            dx = np.linalg.solve(H, -J.T @ r)
+        except np.linalg.LinAlgError:
+            return None
         dth, dp = dx[:3], dx[3:]
         R = _quat_to_R(np.asarray(lie.exp_so3_quat(jnp.asarray(dth)))) @ R
         p = p + dp
@@ -327,16 +335,20 @@ def construct_sfm(pts, mask, nf, min_parallax=30.0 / 460.0, seed=0):
         vis = (mask[:, f] > 0) & X_ok
         if vis.sum() < 6:
             return None
-        R, c = pnp_gn(X[vis], pts[vis, f, :2], R_cw[f - 1], c_w[f - 1])
-        R_cw[f], c_w[f] = R, c
+        got = pnp_gn(X[vis], pts[vis, f, :2], R_cw[f - 1], c_w[f - 1])
+        if got is None:
+            return None
+        R_cw[f], c_w[f] = got
         tri(f, newest)
     # backward pass l-1..0: PnP from next, triangulate with l
     for f in range(l - 1, -1, -1):
         vis = (mask[:, f] > 0) & X_ok
         if vis.sum() < 6:
             return None
-        R, c = pnp_gn(X[vis], pts[vis, f, :2], R_cw[f + 1], c_w[f + 1])
-        R_cw[f], c_w[f] = R, c
+        got = pnp_gn(X[vis], pts[vis, f, :2], R_cw[f + 1], c_w[f + 1])
+        if got is None:
+            return None
+        R_cw[f], c_w[f] = got
         tri(f, l)
     # triangulate anything else with ≥2 views
     for f in range(nf - 1):

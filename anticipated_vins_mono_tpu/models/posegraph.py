@@ -181,16 +181,18 @@ def find_connection(desc_old: jax.Array, kps_old_3d: np.ndarray,
     best_inl = np.zeros(n, bool)
     for _ in range(30):
         idx = rng.choice(n, 6, replace=False)
-        try:
-            R, p = pnp_gn(X[idx], uv[idx], np.eye(3), np.zeros(3), iters=10)
-        except np.linalg.LinAlgError:
+        got = pnp_gn(X[idx], uv[idx], np.eye(3), np.zeros(3), iters=10)
+        if got is None:
             continue
-        inl = reproj_err(R, p) < reproj_thresh
+        inl = reproj_err(*got) < reproj_thresh
         if inl.sum() > best_inl.sum():
             best_inl = inl
     if best_inl.sum() < min_inliers:
         return None
-    R, p = pnp_gn(X[best_inl], uv[best_inl], np.eye(3), np.zeros(3), iters=15)
+    got = pnp_gn(X[best_inl], uv[best_inl], np.eye(3), np.zeros(3), iters=15)
+    if got is None:
+        return None
+    R, p = got
     inl = reproj_err(R, p) < reproj_thresh
     if inl.sum() < min_inliers:
         return None

@@ -55,11 +55,15 @@ def run_curve(batch_sizes=(16, 64, 128, 256, 512), reps: int = 10,
         except Exception:
             flops = float("nan")
         out = compiled(state, meas)
-        jax.block_until_ready(out[0].p)
+        jax.block_until_ready(out)
+        # pipelined dispatch, ONE full-tree sync at the end (see bench.py:
+        # a partial sync on one leaf has been observed to return before the
+        # remote queue drains — 100× false speedup)
+        outs = []
         t0 = time.perf_counter()
         for _ in range(reps):
-            out = compiled(state, meas)
-        jax.block_until_ready(out[0].p)
+            outs.append(compiled(state, meas))
+        jax.block_until_ready(outs)
         dt = (time.perf_counter() - t0) / reps
         iters_per_s = B * cfg.iters / dt
         row = {

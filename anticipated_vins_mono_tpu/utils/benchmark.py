@@ -76,6 +76,7 @@ def run_one(sequence: str, policy: Optional[str] = "anticipate",
             track_loss_rate: float = 0.0, n_landmarks: int = 8000,
             quality_beta: tuple = (5.0, 2.0),
             quality_noise_scale: float = 0.0, slip_rate: float = 0.0,
+            slip_px: float = 2.5,
             real_extrinsics: bool = False, hgen: str = "imu",
             cam_td: float = 0.0, estimate_td: bool = False,
             out_dir: Optional[str] = None, seed: int = 0,
@@ -95,7 +96,7 @@ def run_one(sequence: str, policy: Optional[str] = "anticipate",
                             track_loss_rate=track_loss_rate,
                             quality_beta=tuple(quality_beta),
                             quality_noise_scale=quality_noise_scale,
-                            slip_rate=slip_rate,
+                            slip_rate=slip_rate, slip_px=slip_px,
                             cam_td=cam_td,
                             tic=tic, qic=qic)
     wcfg = WindowConfig(window=10, max_feats=192, iters=8,
@@ -202,6 +203,9 @@ if __name__ == "__main__":
     ap.add_argument("--track-loss", type=float, default=0.0)
     ap.add_argument("--quality-noise-scale", type=float, default=0.0)
     ap.add_argument("--slip-rate", type=float, default=0.0)
+    ap.add_argument("--slip-px", type=float, default=2.5)
+    ap.add_argument("--quality-beta", nargs=2, type=float,
+                    default=[5.0, 2.0])
     ap.add_argument("--real-extrinsics", action="store_true")
     ap.add_argument("--hgen", default="imu", choices=["imu", "gt"])
     ap.add_argument("--seeds", nargs="*", type=int, default=[0])
@@ -216,7 +220,8 @@ if __name__ == "__main__":
         max_seconds=None if args.full_length else args.seconds,
         track_loss_rate=args.track_loss,
         quality_noise_scale=args.quality_noise_scale,
-        slip_rate=args.slip_rate,
+        slip_rate=args.slip_rate, slip_px=args.slip_px,
+        quality_beta=tuple(args.quality_beta),
         real_extrinsics=args.real_extrinsics, hgen=args.hgen,
         cam_td=args.cam_td, estimate_td=args.estimate_td,
         seeds=args.seeds, n_workers=args.workers, out_dir=args.out)

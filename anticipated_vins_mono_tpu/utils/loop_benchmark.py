@@ -132,6 +132,14 @@ def run_loop_benchmark(duration: float = 90.0, laps: float = 3.0,
     p_l = np.stack([x[1] for x in out])
     q_l = np.stack([x[2] for x in out])
     ate_loop = ate_rmse(t_l, p_l, traj.t, traj.p)
+    # updatePath parity (pose_graph.cpp:561-575 + updatePath): after each
+    # optimize() the reference republishes the WHOLE corrected path — the
+    # retrospective loop-corrected trajectory, which also repairs segments
+    # recorded before the first loop fired. Evaluate it too.
+    g = node.graph
+    t_g = np.array([e.t for e in node.entries])
+    ate_path = ate_rmse(t_g, g.pos[: g.n], traj.t, traj.p) \
+        if g.n >= 8 else float("nan")
 
     if out_prefix:
         write_tum(out_prefix + "_vio.tum", t_v, p_v, q_v)
@@ -143,7 +151,9 @@ def run_loop_benchmark(duration: float = 90.0, laps: float = 3.0,
         "keyframes": len(node.entries),
         "loops_accepted": len(node.loops),
         "ate_vio": float(ate_vio), "ate_loop": float(ate_loop),
+        "ate_loop_path": float(ate_path),
         "improvement": float(ate_vio / max(ate_loop, 1e-9)),
+        "improvement_path": float(ate_vio / max(ate_path, 1e-9)),
         "vio_failures": est2.diag.failures,
     }
 

@@ -53,15 +53,18 @@ class SequenceSimulator:
     # pixel_noise·(1 + quality_noise_scale·(1−q)). 0 = uniform noise.
     quality_noise_scale: float = 0.0
     # track SLIP: with per-frame probability slip_rate·(1−q)² a tracked
-    # feature jumps to a nearby wrong point and keeps being tracked THERE
-    # (persistent offset) — the classic LK aperture/occlusion failure that
+    # feature drifts to a nearby wrong point and keeps being tracked THERE
+    # (persistent offset) — the classic LK aperture/edge failure that
     # produces the outliers the reference's prob channel exists to predict
-    # (feature_tracker.cpp:300-343). The tracker doesn't know it slipped:
-    # prob stays at the feature's quality, the measurement is silently
-    # wrong, and only the backend's Cauchy loss (estimator.cpp:666) stands
-    # between one bad selection and a corrupted window.
+    # (feature_tracker.cpp:300-343). slip_px must stay SMALL (≲3 px):
+    # gross slips fail the tracker's own F-RANSAC (feature_tracker.cpp:
+    # 62-98, 1 px epipolar threshold) and become track LOSS, already
+    # modeled above; what reaches the backend is the sub-threshold bias
+    # that Cauchy down-weights but cannot reject. The tracker doesn't know
+    # it slipped: prob stays at the feature's quality and the measurement
+    # is silently wrong.
     slip_rate: float = 0.0
-    slip_px: float = 12.0
+    slip_px: float = 2.5
     # "spatial": quality varies smoothly over the world (real GFTT scores
     # are spatially correlated — corner-rich texture patches score high
     # together), so a pure top-κ-by-score policy concentrates its budget in

@@ -39,27 +39,36 @@ def main():
     prob = make_window_problem(cfg, seed=0, perturb=0.3, pixel_noise=0.5,
                                dtype=jnp.float32)
 
-    B = 16  # scenario batch per chip
+    B = 64  # scenario batch per chip — the measured throughput knee of the
+    # batch-scaling curve (results/bench_curve.json: 11.6k iters/s at B=64
+    # vs 9.6k at B=16; beyond B=64 HBM residency pushes it back down)
     batch = lambda x: jnp.broadcast_to(x[None], (B,) + x.shape).copy()
     state = jtu.tree_map(batch, prob.init)
     meas = jtu.tree_map(batch, prob.meas)
 
     solve = jax.jit(jax.vmap(lambda s, m: lm_solve(s, m, cfg)))
     out = solve(state, meas)         # compile
-    jax.block_until_ready(out[0].p)
+    jax.block_until_ready(out)
 
-    # timed region: repeated batched solves (cached executable)
+    # timed region: pipelined batched solves (cached executable). Dispatch
+    # all reps then sync the FULL output tree once: device executions
+    # serialize, so total/reps ≈ device time per solve, amortizing the
+    # host↔device (tunnel) round-trip that a per-rep sync would add to
+    # every solve. Keep every rep's outputs alive and sync them ALL — a
+    # partial sync (one leaf of the last rep) has been observed to return
+    # before the queue drains on the remote backend (100× false speedup).
     reps = 10
+    outs = []
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = solve(state, meas)
-    jax.block_until_ready(out[0].p)
+        outs.append(solve(state, meas))
+    jax.block_until_ready(outs)
     dt = (time.perf_counter() - t0) / reps
 
     iters_per_s = B * cfg.iters / dt
     print(json.dumps({
         "metric": "sliding-window BA LM iterations/s per chip "
-                  "(10-kf window, 128 landmarks, batch 16, f32)",
+                  "(10-kf window, 128 landmarks, batch 64, f32)",
         "value": round(iters_per_s, 1),
         "unit": "iters/s",
         "vs_baseline": round(iters_per_s / CERES_BASELINE_ITERS_PER_S, 2),
