@@ -172,7 +172,11 @@ class VioEstimator:
         self.td_at_frame = np.zeros(cfg.nf)  # td at capture (cur_td parity)
         self.frame_times: list = []
         self.trajectory: list = []  # (t, p, q, v) of the newest frame
-        self.diag = EstimatorDiagnostics()
+        # diagnostics survive failure reboots — reset() runs on every
+        # failureDetection trigger, and wiping the counter there would
+        # report failures=0 for a run that rebooted N times
+        if not hasattr(self, "diag"):
+            self.diag = EstimatorDiagnostics()
         self.initialized = False
         self.pending_relo = None   # (p, q, {feature_id: pt3 in relo frame})
         self.relo_result = None    # (relative_t, relative_q) after the solve
@@ -494,6 +498,12 @@ class VioEstimator:
         sfm = vi_init.construct_sfm(self.db.pts, self.db.mask, nf,
                                     seed=self._init_attempts)
         if sfm is None:
+            return False
+        # structure-quality gate (GlobalSFM BA-convergence analog,
+        # initial_sfm.cpp:226-232): accepting geometrically corrupted
+        # structure locks a bad scale/gravity into the prior and the run
+        # never recovers — rejecting waits for a cleaner window
+        if sfm["med_reproj"] > 2.5 / 460.0:
             return False
         R_cw, c_w = sfm["R_cw"], sfm["c_w"]
         Ric = np.asarray(lie.quat_to_rot(jnp.asarray(self.qic)))  # cam→body

@@ -232,11 +232,15 @@ def relative_pose_ransac(x1, x2, iters=100, thresh=3e-3, seed=0):
     return R, t, best_mask
 
 
-def pnp_gn(X_w, x_obs, R0, p0, iters=10):
-    """Gauss-Newton PnP: camera pose (R_cw, p_wc) from 3D-2D matches.
+def pnp_gn(X_w, x_obs, R0, p0, iters=10, huber=3.0 / 460.0):
+    """Huber-IRLS Gauss-Newton PnP: camera pose (R_cw, p_wc) from 3D-2D
+    matches.
 
     Replaces cv::solvePnP with iterative-refinement init
-    (initial_sfm.cpp:23-72). R0/p0: initial world→cam rotation + cam center.
+    (initial_sfm.cpp:23-72), robustified: residual rows beyond `huber`
+    (normalized units; 3 px default) are down-weighted 1/|r| so a few
+    slipped/mismatched tracks can't steer the pose — the role RANSAC plays
+    around solvePnP in the reference (keyframe.cpp PnPRANSAC).
     Returns None on a degenerate/non-finite system — the caller treats it
     like the reference treats a solvePnP failure (initial_sfm.cpp:159-163:
     abandon this init attempt, try again on a later frame).
@@ -246,13 +250,17 @@ def pnp_gn(X_w, x_obs, R0, p0, iters=10):
         Pc = (X_w - p) @ R.T
         z = np.maximum(Pc[:, 2], 1e-6)
         pred = Pc[:, :2] / z[:, None]
-        r = (pred - x_obs).reshape(-1)
+        res2 = pred - x_obs
+        # Huber sqrt-weights per FEATURE (2 rows share one weight)
+        rn = np.linalg.norm(res2, axis=1)
+        w = np.sqrt(np.where(rn > huber, huber / np.maximum(rn, 1e-12), 1.0))
+        r = (res2 * w[:, None]).reshape(-1)
         # Jacobian wrt (dtheta (cam frame), dp_world)
         n = len(X_w)
         J = np.zeros((2 * n, 6))
         for k in range(n):
             x, y, iz = Pc[k, 0] / z[k], Pc[k, 1] / z[k], 1.0 / z[k]
-            d_proj = np.array([[iz, 0, -x * iz], [0, iz, -y * iz]])
+            d_proj = w[k] * np.array([[iz, 0, -x * iz], [0, iz, -y * iz]])
             # left perturbation: Pc = exp(θ̂)·R·(X−p) ⇒ dPc/dθ = −[Pc]×
             d_rot = -np.cross(np.eye(3), Pc[k])
             J[2 * k: 2 * k + 2, 0:3] = d_proj @ d_rot
@@ -315,8 +323,12 @@ def construct_sfm(pts, mask, nf, min_parallax=30.0 / 460.0, seed=0):
     X = np.zeros((F, 3))
     X_ok = np.zeros(F, bool)
 
-    def tri(f1, f2):
-        """Triangulate features seen in both f1,f2 lacking a 3D point."""
+    def tri(f1, f2, gate=8.0 / 460.0):
+        """Triangulate features seen in both f1,f2 lacking a 3D point.
+        A reprojection gate (8 px) rejects slipped/mismatched tracks —
+        corrupted structure here poisons every downstream PnP and the
+        VI alignment (the reference gets this robustness from ceres BA
+        convergence inside GlobalSFM::construct, initial_sfm.cpp:199-232)."""
         need = (mask[:, f1] > 0) & (mask[:, f2] > 0) & ~X_ok
         ids = np.nonzero(need)[0]
         if not ids.size:
@@ -325,6 +337,12 @@ def construct_sfm(pts, mask, nf, min_parallax=30.0 / 460.0, seed=0):
         t12 = R_cw[f2] @ (c_w[f1] - c_w[f2])
         Xl = _triangulate_pair(R12, t12, pts[ids, f1, :2], pts[ids, f2, :2])
         ok = Xl[:, 2] > 0.05
+        # reproject into f2 (f1 reprojection is near-exact by construction)
+        X2 = Xl @ R12.T + t12
+        z2 = np.maximum(X2[:, 2], 1e-6)
+        err = np.linalg.norm(X2[:, :2] / z2[:, None] - pts[ids, f2, :2],
+                             axis=1)
+        ok &= (X2[:, 2] > 0.05) & (err < gate)
         Xw = (Xl @ R_cw[f1]) + c_w[f1]   # cam_f1 → world
         X[ids[ok]] = Xw[ok]
         X_ok[ids[ok]] = True
@@ -353,7 +371,22 @@ def construct_sfm(pts, mask, nf, min_parallax=30.0 / 460.0, seed=0):
     # triangulate anything else with ≥2 views
     for f in range(nf - 1):
         tri(f, newest)
-    return {"R_cw": R_cw, "c_w": c_w, "X": X, "X_ok": X_ok, "l": l}
+    # structure-quality metric: median reprojection error of the recovered
+    # structure across ALL observations — the acceptance signal the
+    # reference reads off ceres summary.termination_type
+    # (initial_sfm.cpp:226-232); callers gate on it
+    errs = []
+    for f in range(nf):
+        vis = (mask[:, f] > 0) & X_ok
+        if vis.sum() < 1:
+            continue
+        Pc = (X[vis] - c_w[f]) @ R_cw[f].T
+        z = np.maximum(Pc[:, 2], 1e-6)
+        errs.append(np.linalg.norm(Pc[:, :2] / z[:, None] - pts[vis, f, :2],
+                                   axis=1))
+    med_err = float(np.median(np.concatenate(errs))) if errs else np.inf
+    return {"R_cw": R_cw, "c_w": c_w, "X": X, "X_ok": X_ok, "l": l,
+            "med_reproj": med_err}
 
 
 # ----------------------------------------------------------------------------

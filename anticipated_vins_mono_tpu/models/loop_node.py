@@ -79,6 +79,10 @@ class LoopClosureNode:
         self._skip = 0
         self._last_p: Optional[np.ndarray] = None
         self.R_ic = np.asarray(lie.quat_to_rot(jnp.asarray(self.qic)))
+        # funnel counters: where candidate loops die (detectLoop → BRIEF/
+        # PnP verification → geometric sanity gates → accepted)
+        self.stats = {"queries": 0, "detected": 0, "verify_fail": 0,
+                      "gate_fail": 0, "accepted": 0}
 
     # ------------------------------------------------------------------
 
@@ -133,12 +137,15 @@ class LoopClosureNode:
         k = self.graph.n - 1
         self.entries.append(entry)
 
+        self.stats["queries"] += 1
         cand = self._detect_loop(k, hist)
         if cand is None:
             return None
+        self.stats["detected"] += 1
         got = self._verify(cand, entry)
         if got is None:
             return None
+        self.stats["accepted"] += 1
         rel_t, rel_yaw, p_old_b, q_old_b, matches, n_inl = got
         self.graph.add_loop_edge(cand, k, rel_t, rel_yaw)
         self.graph.optimize()
@@ -184,6 +191,7 @@ class LoopClosureNode:
             jnp.asarray(old.corner_desc), old.corner_norm,
             min_inliers=self.min_inliers)
         if got is None:
+            self.stats["verify_fail"] += 1
             return None
         R_cw, p_wc, n_inl, pairs = got
         # camera → body pose of the OLD keyframe in the current VIO world
@@ -200,6 +208,7 @@ class LoopClosureNode:
         # sanity gates of the reference (keyframe.cpp:418-424):
         # |rel_yaw| < 30°, |rel_t| < 20 m
         if abs(rel_yaw) > 30.0 or np.linalg.norm(rel_t) > 20.0:
+            self.stats["gate_fail"] += 1
             return None
         matches = {int(cur.win_ids[i]): np.append(old.corner_norm[j], 1.0)
                    for i, j in pairs}

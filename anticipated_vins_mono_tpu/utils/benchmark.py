@@ -76,7 +76,7 @@ def run_one(sequence: str, policy: Optional[str] = "anticipate",
             track_loss_rate: float = 0.0, n_landmarks: int = 8000,
             quality_beta: tuple = (5.0, 2.0),
             quality_noise_scale: float = 0.0, slip_rate: float = 0.0,
-            slip_px: float = 2.5,
+            slip_px: float = 2.5, degrade_after: float = 0.0,
             real_extrinsics: bool = False, hgen: str = "imu",
             cam_td: float = 0.0, estimate_td: bool = False,
             out_dir: Optional[str] = None, seed: int = 0,
@@ -97,6 +97,7 @@ def run_one(sequence: str, policy: Optional[str] = "anticipate",
                             quality_beta=tuple(quality_beta),
                             quality_noise_scale=quality_noise_scale,
                             slip_rate=slip_rate, slip_px=slip_px,
+                            degrade_after=degrade_after,
                             cam_td=cam_td,
                             tic=tic, qic=qic)
     wcfg = WindowConfig(window=10, max_feats=192, iters=8,
@@ -139,6 +140,7 @@ def run_one(sequence: str, policy: Optional[str] = "anticipate",
     if quality_noise_scale or slip_rate:
         row["quality_noise_scale"] = quality_noise_scale
         row["slip_rate"] = slip_rate
+        row["degrade_after"] = degrade_after
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
         write_tum(os.path.join(out_dir, f"{sequence}_{policy}_k{kappa}.tum"),
@@ -204,6 +206,7 @@ if __name__ == "__main__":
     ap.add_argument("--quality-noise-scale", type=float, default=0.0)
     ap.add_argument("--slip-rate", type=float, default=0.0)
     ap.add_argument("--slip-px", type=float, default=2.5)
+    ap.add_argument("--degrade-after", type=float, default=0.0)
     ap.add_argument("--quality-beta", nargs=2, type=float,
                     default=[5.0, 2.0])
     ap.add_argument("--real-extrinsics", action="store_true")
@@ -221,6 +224,7 @@ if __name__ == "__main__":
         track_loss_rate=args.track_loss,
         quality_noise_scale=args.quality_noise_scale,
         slip_rate=args.slip_rate, slip_px=args.slip_px,
+        degrade_after=args.degrade_after,
         quality_beta=tuple(args.quality_beta),
         real_extrinsics=args.real_extrinsics, hgen=args.hgen,
         cam_td=args.cam_td, estimate_td=args.estimate_td,

@@ -58,7 +58,7 @@ def grounded_landmarks(world, cam, rays, traj, R_all, n_views: int = 24,
     return np.stack(pts)
 
 
-def run_loop_benchmark(duration: float = 90.0, laps: float = 3.0,
+def run_loop_benchmark(duration: float = 90.0, laps: float | None = None,
                        radius: float = 3.0, width: int = 752,
                        height: int = 480, seed: int = 0,
                        pixel_noise: float = 0.5,
@@ -69,7 +69,15 @@ def run_loop_benchmark(duration: float = 90.0, laps: float = 3.0,
                        sim_hi: float = 0.32,
                        out_prefix: str | None = None,
                        kf_stride: int = 2, verbose: bool = False) -> dict:
-    """Returns {'ate_vio':…, 'ate_loop':…, 'loops':…} (meters)."""
+    """Returns {'ate_vio':…, 'ate_loop':…, 'loops':…} (meters).
+
+    laps=None keeps one lap per 10 s (ω̄≈0.63 rad/s). Slower laps starve
+    the IMU of excitation — at 2 laps/40 s the centripetal specific force
+    drops ~4× and even the noise-free VIO drifts 17 m (measured) because
+    scale/gravity are barely observable on a near-constant accelerometer.
+    """
+    if laps is None:
+        laps = duration / 10.0
     fx = 0.6 * width
     cam = cameras.PinholeCamera.create(fx, fx, width / 2.0, height / 2.0,
                                        width=width, height=height)
@@ -77,7 +85,17 @@ def run_loop_benchmark(duration: float = 90.0, laps: float = 3.0,
     world = render.make_box_world(traj.p, margin=5.0, seed=seed)
     rays = render.camera_rays(cam)
     R_all = np.asarray(lie.quat_to_rot(jnp.asarray(traj.q)))
-    lms = grounded_landmarks(world, cam, rays, traj, R_all)
+    lms_wall = grounded_landmarks(world, cam, rays, traj, R_all)
+    # interior structure (the real Vicon room is full of clutter): wall-only
+    # landmarks give every view a single plane — measured 200+ m VIO drift
+    # from that degeneracy vs bounded error with depth-diverse fields. The
+    # interior points' BRIEF descriptors (wall texture behind them) don't
+    # match across visits, so they feed the ESTIMATOR only; the wall points
+    # carry the loop-closure descriptor matching.
+    rng = np.random.default_rng(seed + 13)
+    lo = traj.p.min(0) - np.array([2.0, 2.0, 1.0])
+    hi = traj.p.max(0) + np.array([2.0, 2.0, 1.0])
+    lms = np.concatenate([lms_wall, rng.uniform(lo, hi, size=(1500, 3))])
 
     def make_sim():
         return SequenceSimulator(
@@ -155,6 +173,7 @@ def run_loop_benchmark(duration: float = 90.0, laps: float = 3.0,
         "improvement": float(ate_vio / max(ate_loop, 1e-9)),
         "improvement_path": float(ate_vio / max(ate_path, 1e-9)),
         "vio_failures": est2.diag.failures,
+        "funnel": dict(node.stats),
     }
 
 
@@ -164,7 +183,7 @@ if __name__ == "__main__":
     force_cpu_f64()
     ap = argparse.ArgumentParser()
     ap.add_argument("--duration", type=float, default=90.0)
-    ap.add_argument("--laps", type=float, default=3.0)
+    ap.add_argument("--laps", type=float, default=None)
     ap.add_argument("--width", type=int, default=752)
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--seed", type=int, default=0)

@@ -65,6 +65,15 @@ class SequenceSimulator:
     # is silently wrong.
     slip_rate: float = 0.0
     slip_px: float = 2.5
+    # degradation onset time [s]: slip / track-loss / quality-scaled noise
+    # all activate at t > degrade_after. The κ-policy experiments set ~8 s:
+    # the selector is pass-through until the backend initializes
+    # (feature_selector.cpp:172-187 parity), so degradation during init
+    # only injects POLICY-INDEPENDENT initializer failures that swamp the
+    # between-policy comparison with common-mode divergence (measured:
+    # 7-9/10 seeds diverge identically across policies on V2_03 when
+    # degradation is active from t=0)
+    degrade_after: float = 0.0
     # "spatial": quality varies smoothly over the world (real GFTT scores
     # are spatially correlated — corner-rich texture patches score high
     # together), so a pure top-κ-by-score policy concentrates its budget in
@@ -187,8 +196,9 @@ class SequenceSimulator:
             ok, pts = self._visible(k_img)
             vis_ids = set(np.nonzero(ok)[0].tolist())
 
+            degrade = float(t.t[k] - t.t[0]) >= self.degrade_after
             kept = {i for i in self.tracked if i in vis_ids}
-            if self.track_loss_rate > 0:
+            if self.track_loss_rate > 0 and degrade:
                 kept = {i for i in kept
                         if self.rng.random() >=
                         self.track_loss_rate * (1.0 - self.lm_quality[i])}
@@ -210,7 +220,8 @@ class SequenceSimulator:
             for i in kept:
                 pt = pts[i].copy()
                 q_i = float(self.lm_quality[i])
-                if self.slip_rate > 0 and self.tracked.get(i, 0) > 1 and \
+                if degrade and self.slip_rate > 0 and \
+                        self.tracked.get(i, 0) > 1 and \
                         self.rng.random() < self.slip_rate * (1.0 - q_i) ** 2:
                     self._slip[i] = self._slip.get(i, 0.0) + \
                         self.rng.normal(size=2) * self.slip_px / 460.0
@@ -218,7 +229,8 @@ class SequenceSimulator:
                     pt[:2] += self._slip[i]
                 if self.pixel_noise > 0:
                     sigma = self.pixel_noise * \
-                        (1.0 + self.quality_noise_scale * (1.0 - q_i))
+                        (1.0 + (self.quality_noise_scale * (1.0 - q_i)
+                                if degrade else 0.0))
                     pt[:2] += self.rng.normal(size=2) * sigma / 460.0
                 prev = self._prev_pts.get(i)
                 vel = (pt[:2] - prev[:2]) / dt_f if prev is not None else np.zeros(2)
