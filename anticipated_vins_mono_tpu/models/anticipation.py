@@ -57,6 +57,14 @@ class SelectorConfig(NamedTuple):
     fov_margin: float = 1.0       # multiplier on the FOV half-tangents
     fov_x: float = 0.58           # ≈ EuRoC pinhole half-tangent
     fov_y: float = 0.44
+    # IMPROVEMENT over the reference's p·Δ_ℓ weighting
+    # (feature_selector.cpp:661): treat the prob channel as a PER-FRAME
+    # track-survival probability — frame-h information arrives only if the
+    # track survived h−1 steps, so block C_h is weighted p^(h−1) instead of
+    # every block getting the same p. Makes the greedy prefer features that
+    # are informative AND likely to still exist late in the horizon; the
+    # reference's linear weighting overvalues fragile high-gain candidates.
+    survival_weighting: bool = False
 
     @property
     def dim(self) -> int:

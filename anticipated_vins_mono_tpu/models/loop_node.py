@@ -83,6 +83,7 @@ class LoopClosureNode:
         # PnP verification → geometric sanity gates → accepted)
         self.stats = {"queries": 0, "detected": 0, "verify_fail": 0,
                       "gate_fail": 0, "accepted": 0}
+        self.gate_rejects: list = []   # (rel_yaw, |rel_t|) of gated pairs
 
     # ------------------------------------------------------------------
 
@@ -186,10 +187,16 @@ class LoopClosureNode:
         gate on MIN_LOOP_NUM inliers. Returns (rel_t, rel_yaw, old body
         pose, relo matches {id: pt3 in old frame}, inliers)."""
         old = self.entries[old_idx]
+        # PnP initial guess: the OLD keyframe's camera pose from VIO
+        # (useExtrinsicGuess parity, keyframe.cpp PnPRANSAC) — within the
+        # accumulated drift of the true pose, i.e. inside the GN basin
+        R_wb_old = np.asarray(lie.quat_to_rot(jnp.asarray(old.q_vio)))
+        R_wc = R_wb_old @ self.R_ic
+        p_wc = np.asarray(old.p_vio, float) + R_wb_old @ self.tic
         got = pg.find_connection(
             jnp.asarray(cur.win_desc), cur.win_X,
             jnp.asarray(old.corner_desc), old.corner_norm,
-            min_inliers=self.min_inliers)
+            min_inliers=self.min_inliers, R0=R_wc.T, p0=p_wc)
         if got is None:
             self.stats["verify_fail"] += 1
             return None
@@ -209,6 +216,9 @@ class LoopClosureNode:
         # |rel_yaw| < 30°, |rel_t| < 20 m
         if abs(rel_yaw) > 30.0 or np.linalg.norm(rel_t) > 20.0:
             self.stats["gate_fail"] += 1
+            if len(self.gate_rejects) < 64:
+                self.gate_rejects.append(
+                    (round(rel_yaw, 1), round(float(np.linalg.norm(rel_t)), 2)))
             return None
         matches = {int(cur.win_ids[i]): np.append(old.corner_norm[j], 1.0)
                    for i, j in pairs}

@@ -146,7 +146,9 @@ def idf_similarities(hists: np.ndarray, query: np.ndarray) -> np.ndarray:
 def find_connection(desc_old: jax.Array, kps_old_3d: np.ndarray,
                     desc_new: jax.Array, kps_new_uv: np.ndarray,
                     max_hamming: int = 80, min_inliers: int = 25,
-                    reproj_thresh: float = 10.0 / 460.0):
+                    reproj_thresh: float = 10.0 / 460.0,
+                    R0: np.ndarray | None = None,
+                    p0: np.ndarray | None = None):
     """Geometric loop verification — KeyFrame::findConnection parity
     (keyframe.cpp:259-430): BRIEF Hamming matching (< 80, :200-230) between
     the old keyframe's features (with 3-D positions) and the candidate
@@ -158,7 +160,19 @@ def find_connection(desc_old: jax.Array, kps_old_3d: np.ndarray,
     the inlier correspondence list [(row into kps_old_3d, row into
     kps_new_uv)] — the reference's matched_2d_old/matched_id feedback that
     becomes relocalization match_points (pose_graph_node.cpp:524-535).
+
+    R0/p0: initial world→cam rotation + camera center for the PnP —
+    REQUIRED in practice for arbitrary revisit geometry: `pnp_gn` is a
+    local Gauss-Newton and from identity it never reaches a pose rotated
+    ~180° away (measured: 0 inliers on every true revisit of an
+    outward-looking circuit). The reference passes the keyframe's VIO pose
+    as solvePnPRansac's useExtrinsicGuess the same way (keyframe.cpp:
+    PnPRANSAC, initial_r/initial_t from origin_vio_T).
     """
+    if R0 is None:
+        R0 = np.eye(3)
+    if p0 is None:
+        p0 = np.zeros(3)
     from anticipated_vins_mono_tpu.models.initialization import pnp_gn
     ham = np.asarray(hamming_match(desc_old, desc_new))
     best = ham.argmin(axis=1)
@@ -181,7 +195,7 @@ def find_connection(desc_old: jax.Array, kps_old_3d: np.ndarray,
     best_inl = np.zeros(n, bool)
     for _ in range(30):
         idx = rng.choice(n, 6, replace=False)
-        got = pnp_gn(X[idx], uv[idx], np.eye(3), np.zeros(3), iters=10)
+        got = pnp_gn(X[idx], uv[idx], R0, p0, iters=10)
         if got is None:
             continue
         inl = reproj_err(*got) < reproj_thresh
@@ -189,7 +203,7 @@ def find_connection(desc_old: jax.Array, kps_old_3d: np.ndarray,
             best_inl = inl
     if best_inl.sum() < min_inliers:
         return None
-    got = pnp_gn(X[best_inl], uv[best_inl], np.eye(3), np.zeros(3), iters=15)
+    got = pnp_gn(X[best_inl], uv[best_inl], R0, p0, iters=15)
     if got is None:
         return None
     R, p = got
