@@ -231,12 +231,17 @@ def nn_depths(cand_uv: jax.Array, lm_uv: jax.Array, lm_depth: jax.Array,
 
 def delta_ell(bearing_c: jax.Array, depth: jax.Array,
               p_wc: jax.Array, q_wc: jax.Array,
-              cfg: SelectorConfig):
+              cfg: SelectorConfig, prob=None):
     """Δ_ℓ [D,D] + visibility count for ONE candidate feature.
 
     bearing_c: [3] calibrated [u,v,1] in the (k+1) camera; p_wc/q_wc: camera
     poses over the horizon [H+1] (index 1 = frame k+1, matching the
     reference's state_kkH indexing). vmap over candidates.
+
+    With cfg.survival_weighting and a `prob`, block C_h is scaled p^h —
+    the expected information at horizon frame h given per-frame track
+    survival p (see SelectorConfig.survival_weighting). The caller must
+    then NOT multiply Δ by p again.
     """
     H, S, D = cfg.horizon, STATE_SIZE, cfg.dim
     dtype = bearing_c.dtype
@@ -266,6 +271,9 @@ def delta_ell(bearing_c: jax.Array, depth: jax.Array,
     B1 = lie.skew(u1) @ R_cw1
     C1 = B1.T @ B1
     Ch = jnp.concatenate([C1[None], Ch_tail], axis=0)     # [H,3,3] h=1..H
+    if cfg.survival_weighting and prob is not None:
+        w = prob ** jnp.arange(1, H + 1, dtype=dtype)     # p^h, h=1..H
+        Ch = Ch * w[:, None, None]
 
     EtE = jnp.sum(Ch, axis=0)
     W = jnp.linalg.inv(EtE + 1e-12 * jnp.eye(3, dtype=dtype))

@@ -57,17 +57,28 @@ def _device_select(cfg: ant.SelectorConfig, kappa: int, n_imu: int,
     # 3. candidate depths by nearest current landmark
     cand_depths = ant.nn_depths(cand_pts[:, :2], lm_uv, lm_depth, lm_mask)
 
-    # 4. Δ_ℓ for candidates and for the tracked subset
-    d_fn = jax.vmap(lambda b, d: ant.delta_ell(b, d, p_wc, q_wc, cfg))
-    Deltas, nvis = d_fn(cand_pts, cand_depths)
+    # 4. Δ_ℓ for candidates and for the tracked subset. Under
+    # survival_weighting the per-frame p^h decay is folded into Δ itself
+    # and the greedy must NOT multiply by p again.
+    if cfg.survival_weighting:
+        d_fn = jax.vmap(
+            lambda b, d, p: ant.delta_ell(b, d, p_wc, q_wc, cfg, prob=p))
+        Deltas, nvis = d_fn(cand_pts, cand_depths, cand_probs)
+        D_used, _ = d_fn(used_pts, used_depths,
+                         jnp.ones_like(used_depths))
+        greedy_probs = jnp.ones_like(cand_probs)
+    else:
+        d_fn = jax.vmap(lambda b, d: ant.delta_ell(b, d, p_wc, q_wc, cfg))
+        Deltas, nvis = d_fn(cand_pts, cand_depths)
+        D_used, _ = d_fn(used_pts, used_depths)
+        greedy_probs = cand_probs
     Deltas = jnp.where(cand_valid[:, None, None] > 0, Deltas, 0.0)
-    D_used, _ = d_fn(used_pts, used_depths)
     D_used = jnp.where(used_valid[:, None, None] > 0, D_used, 0.0)
 
     # 5. Ω ← Ω + Σ p·Δ_used (:620-623), then greedy over candidates
     Omega = Omega + jnp.sum(D_used, axis=0)
     sel, OmF = ant.select_informative(
-        Omega, Deltas, cand_probs, cand_valid * (nvis >= 2), kappa)
+        Omega, Deltas, greedy_probs, cand_valid * (nvis >= 2), kappa)
     # backfill to κ by tracking probability when anticipation finds fewer
     # informative candidates than budget (fast rotation can FOV-gate every
     # candidate out of the horizon; the reference's greedy still fills κ —

@@ -79,6 +79,7 @@ def run_one(sequence: str, policy: Optional[str] = "anticipate",
             slip_px: float = 2.5, degrade_after: float = 0.0,
             real_extrinsics: bool = False, hgen: str = "imu",
             cam_td: float = 0.0, estimate_td: bool = False,
+            survival_weighting: bool = False,
             out_dir: Optional[str] = None, seed: int = 0,
             dtype: str = "f64") -> dict:
     """One (sequence, policy, κ) cell. policy=None disables selection
@@ -109,7 +110,8 @@ def run_one(sequence: str, policy: Optional[str] = "anticipate",
         # whole image passes through — starving the initializer with a 0
         # threshold destabilizes the difficult sequences
         scfg = SelectorConfig(horizon=10, max_features=kappa,
-                              init_threshold=30)
+                              init_threshold=30,
+                              survival_weighting=survival_weighting)
         gt_provider = None
         if hgen == "gt":
             gt_provider = make_gt_provider(traj, scfg.horizon)
@@ -141,6 +143,8 @@ def run_one(sequence: str, policy: Optional[str] = "anticipate",
         row["quality_noise_scale"] = quality_noise_scale
         row["slip_rate"] = slip_rate
         row["degrade_after"] = degrade_after
+    if survival_weighting:
+        row["survival_weighting"] = True
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
         write_tum(os.path.join(out_dir, f"{sequence}_{policy}_k{kappa}.tum"),
@@ -207,6 +211,7 @@ if __name__ == "__main__":
     ap.add_argument("--slip-rate", type=float, default=0.0)
     ap.add_argument("--slip-px", type=float, default=2.5)
     ap.add_argument("--degrade-after", type=float, default=0.0)
+    ap.add_argument("--survival", action="store_true")
     ap.add_argument("--quality-beta", nargs=2, type=float,
                     default=[5.0, 2.0])
     ap.add_argument("--real-extrinsics", action="store_true")
@@ -228,6 +233,7 @@ if __name__ == "__main__":
         quality_beta=tuple(args.quality_beta),
         real_extrinsics=args.real_extrinsics, hgen=args.hgen,
         cam_td=args.cam_td, estimate_td=args.estimate_td,
+        survival_weighting=args.survival,
         seeds=args.seeds, n_workers=args.workers, out_dir=args.out)
     if args.json_out:
         with open(args.json_out, "w") as f:

@@ -192,3 +192,37 @@ def test_gt_horizon_relative_composition():
         np.testing.assert_allclose(
             np.abs(np.asarray(lie.quat_mul(lie.quat_conj(q_est[k]), gt_q[k]))[0]),
             1.0, atol=1e-12)
+
+
+def test_survival_weighting():
+    """p^h horizon decay: prob=1 reproduces the unweighted Δ; prob<1
+    shrinks it monotonically; the greedy then prefers the robust candidate
+    when two candidates are otherwise identical."""
+    import jax.numpy as jnp
+    from anticipated_vins_mono_tpu.models import anticipation as ant
+
+    cfg = ant.SelectorConfig(horizon=6, survival_weighting=True)
+    cfg0 = ant.SelectorConfig(horizon=6, survival_weighting=False)
+    H = cfg.horizon
+    # camera sliding along +x, looking down +z
+    ps = jnp.stack([jnp.array([0.1 * h, 0.0, 0.0]) for h in range(H + 1)])
+    qs = jnp.tile(jnp.array([1.0, 0, 0, 0]), (H + 1, 1))
+    b = jnp.array([0.05, -0.02, 1.0])
+
+    d_plain, n0 = ant.delta_ell(b, 4.0, ps, qs, cfg0)
+    d_p1, n1 = ant.delta_ell(b, 4.0, ps, qs, cfg, prob=jnp.asarray(1.0))
+    assert jnp.allclose(d_plain, d_p1, atol=1e-12)
+    assert int(n0) == int(n1)
+
+    d_p5, _ = ant.delta_ell(b, 4.0, ps, qs, cfg, prob=jnp.asarray(0.5))
+    # information strictly decreases with survival decay
+    assert float(jnp.trace(d_p5)) < float(jnp.trace(d_p1))
+
+    # greedy with κ=1: identical geometry, different survival
+    # (full-rank Ω so logdet gains are finite)
+    Om = 1e-3 * jnp.eye(cfg.dim)
+    D_hi, _ = ant.delta_ell(b, 4.0, ps, qs, cfg, prob=jnp.asarray(0.9))
+    D_lo, _ = ant.delta_ell(b, 4.0, ps, qs, cfg, prob=jnp.asarray(0.3))
+    Deltas = jnp.stack([D_lo, D_hi])
+    sel, _ = ant.select_informative(Om, Deltas, jnp.ones(2), jnp.ones(2), 1)
+    assert float(sel[1]) == 1.0 and float(sel[0]) == 0.0
