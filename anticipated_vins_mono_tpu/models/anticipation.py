@@ -88,7 +88,13 @@ def imu_horizon(p_k1, q_k1, v_k1, acc_body, gyr_body, ba, bg,
     Here we return x_{k+1 : k+1+H} propagated from (k+1), matching the
     selector's use of state_kkH[h] for h=1..H with state_kkH[0]=x_k.
     """
-    g = jnp.array([0.0, 0.0, -9.81007], p_k1.dtype)
+    dt_ = p_k1.dtype
+    # host callers hand f64 numpy under x64 while the estimator state may be
+    # f32 — a mixed carry poisons the scan (f32 in, promoted f64 out)
+    q_k1, v_k1 = jnp.asarray(q_k1, dt_), jnp.asarray(v_k1, dt_)
+    acc_body, gyr_body = jnp.asarray(acc_body, dt_), jnp.asarray(gyr_body, dt_)
+    ba, bg = jnp.asarray(ba, dt_), jnp.asarray(bg, dt_)
+    g = jnp.array([0.0, 0.0, -9.81007], dt_)
     w = gyr_body - bg
 
     def frame_step(carry, _):

@@ -63,10 +63,20 @@ class LoopClosureNode:
     n_corners: int = 300          # reference extracts 500 FAST (keyframe.cpp:87)
     exclude_recent: int = 50      # frame exclusion (pose_graph.cpp:317)
     top_k: int = 4                # query top-4 (pose_graph.cpp:317)
-    sim_hi: float = 0.32          # best-score gate (0.05 DBoW2 analog; set
-                                  # from placerec_eval's precision-1.0 point)
+    retrieval: str = "direct"     # "direct" BRIEF set matching (MXU matmul,
+                                  # posegraph.direct_similarities) | "bow"
+                                  # random-word histogram (legacy)
+    sim_hi: Optional[float] = None  # best-score gate (0.05 DBoW2 analog; set
+                                  # from placerec_eval's precision-1.0 point;
+                                  # None → per-retrieval default)
     sim_lo_ratio: float = 0.45    # 2nd-candidate gate = sim_hi*ratio
                                   # (0.015/0.05 = 0.3..; measured safe at .45)
+    ham_thresh: int = 16          # direct-retrieval match radius (bits);
+                                  # tight radius + recent-window score
+                                  # normalization measured 0.98 top-1 recall
+                                  # at 0 false fires (placerec_eval)
+    ref_floor: float = 0.05       # min recent-window self-similarity used
+                                  # as the normalizer (texture-dropout guard)
     min_inliers: int = 25         # MIN_LOOP_NUM (keyframe.h:15)
     skip_cnt: int = 0             # process every (skip_cnt+1)-th keyframe
     skip_dist: float = 0.0        # min translation between pose-graph kfs
@@ -76,6 +86,14 @@ class LoopClosureNode:
     def __post_init__(self):
         self.entries: list[KeyframeEntry] = []
         self.loops: list[dict] = []   # diagnostics of accepted loops
+        if self.sim_hi is None:
+            # placerec_eval-measured precision-1.0 operating points (direct:
+            # normalized score 0.9 → 0.98 top-1 recall, 0 false fires)
+            self.sim_hi = 0.9 if self.retrieval == "direct" else 0.32
+        # direct-retrieval database: concatenated corner descriptors +
+        # prefix offsets (one contiguous matrix → retrieval is one matmul)
+        self._desc_cat = np.zeros((0, pg.BRIEF_BITS), np.uint8)
+        self._desc_off = [0]
         self._skip = 0
         self._last_p: Optional[np.ndarray] = None
         self.R_ic = np.asarray(lie.quat_to_rot(jnp.asarray(self.qic)))
@@ -137,9 +155,12 @@ class LoopClosureNode:
         assert k is None  # no gdesc → the graph never self-detects
         k = self.graph.n - 1
         self.entries.append(entry)
+        self._desc_cat = np.concatenate(
+            [self._desc_cat, corner_desc.astype(np.uint8)])
+        self._desc_off.append(len(self._desc_cat))
 
         self.stats["queries"] += 1
-        cand = self._detect_loop(k, hist)
+        cand = self._detect_loop(k, hist, corner_desc)
         if cand is None:
             return None
         self.stats["detected"] += 1
@@ -160,7 +181,8 @@ class LoopClosureNode:
 
     # ------------------------------------------------------------------
 
-    def _detect_loop(self, k: int, hist: np.ndarray) -> Optional[int]:
+    def _detect_loop(self, k: int, hist: np.ndarray,
+                     corner_desc: np.ndarray) -> Optional[int]:
         """detectLoop semantics (pose_graph.cpp:304-385): query top-4 among
         keyframes older than `exclude_recent`, accept when the best score
         clears sim_hi AND a second candidate clears sim_lo, return the
@@ -168,8 +190,23 @@ class LoopClosureNode:
         n_old = k - self.exclude_recent
         if n_old < 1:
             return None
-        hists = np.stack([e.hist for e in self.entries[:n_old]])
-        sims = pg.idf_similarities(hists, hist)
+        if self.retrieval == "direct":
+            # score against ALL previous keyframes; the recent (excluded)
+            # window's best score is the per-query normalizer — the DBoW2
+            # minScore idea (pose_graph.cpp detectLoop): "as similar to a
+            # past place as to the view half a second ago" is the
+            # scale-free revisit signal. Measured: raw-score threshold
+            # tops out at 0.76 top-1 recall; normalized hits 0.98 at zero
+            # false fires (utils/placerec_eval).
+            off = np.asarray(self._desc_off[: k + 1])
+            s_all = pg.direct_similarities(
+                self._desc_cat[: off[-1]], off, corner_desc,
+                ham_thresh=self.ham_thresh)
+            ref = max(float(s_all[n_old:].max(initial=0.0)), self.ref_floor)
+            sims = s_all[:n_old] / ref
+        else:
+            hists = np.stack([e.hist for e in self.entries[:n_old]])
+            sims = pg.idf_similarities(hists, hist)
         top = np.argsort(sims)[::-1][: self.top_k]
         sim_lo = self.sim_hi * self.sim_lo_ratio
         if sims[top[0]] <= self.sim_hi:

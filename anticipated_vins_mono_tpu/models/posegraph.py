@@ -143,6 +143,38 @@ def idf_similarities(hists: np.ndarray, query: np.ndarray) -> np.ndarray:
     return (hw @ qw) / denom
 
 
+def direct_similarities(db_desc: np.ndarray, db_off: np.ndarray,
+                        query: np.ndarray,
+                        ham_thresh: int = 48) -> np.ndarray:
+    """Direct BRIEF set-matching retrieval score, the TPU-native successor
+    to the BoW histogram: score(k) = fraction of query descriptors whose
+    nearest Hamming neighbour inside keyframe k is < ham_thresh bits.
+
+    DBoW2's vocabulary tree (pose_graph.cpp:304-385 + vendored
+    TemplatedVocabulary) exists to avoid O(N·M·K) descriptor matching on a
+    CPU; the quantization it buys that speed with is lossy (measured here:
+    a 512-random-word codebook gives recall@precision=1.0 of 0.0 on exact
+    circuit revisits — placerec_eval). On the MXU the brute-force Hamming
+    matrix IS two dense matmuls over the bit matrices, so we skip the
+    quantization entirely and match sets directly.
+
+    db_desc: [T,256] 0/1 — ALL database keyframes' descriptors concatenated;
+    db_off: [K+1] int prefix offsets (keyframe k owns rows off[k]:off[k+1]);
+    query: [N,256] 0/1. Returns [K] scores in [0,1].
+    """
+    K = max(len(db_off) - 1, 0)
+    if len(query) == 0 or K == 0 or len(db_desc) == 0:
+        return np.zeros(K)
+    q = query.astype(np.float32)
+    D = db_desc.astype(np.float32)
+    ham = q @ (1.0 - D).T + (1.0 - q) @ D.T              # [N, T]
+    off = np.asarray(db_off[:-1], dtype=np.intp)
+    mins = np.minimum.reduceat(ham, off, axis=1)         # [N, K]
+    nonempty = (np.diff(db_off) > 0)
+    scores = (mins < ham_thresh).mean(axis=0)
+    return np.where(nonempty, scores, 0.0)
+
+
 def find_connection(desc_old: jax.Array, kps_old_3d: np.ndarray,
                     desc_new: jax.Array, kps_new_uv: np.ndarray,
                     max_hamming: int = 80, min_inliers: int = 25,

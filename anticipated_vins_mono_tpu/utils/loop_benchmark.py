@@ -66,7 +66,7 @@ def run_loop_benchmark(duration: float = 90.0, laps: float | None = None,
                        imu_gyr_sigma: float = 0.012,
                        imu_acc_bias: float = 0.06,
                        imu_gyr_bias: float = 0.004,
-                       sim_hi: float = 0.32,
+                       sim_hi: float | None = None,
                        out_prefix: str | None = None,
                        kf_stride: int = 2, verbose: bool = False) -> dict:
     """Returns {'ate_vio':…, 'ate_loop':…, 'loops':…} (meters).

@@ -15,6 +15,7 @@ def _node(**kw):
                                        width=120, height=80)
     kw.setdefault("exclude_recent", 5)
     kw.setdefault("sim_hi", 0.5)
+    kw.setdefault("retrieval", "bow")   # hist-driven unit tests
     return LoopClosureNode(cam=cam, graph=pg.PoseGraph(), **kw)
 
 
@@ -31,6 +32,10 @@ def _push_hist(node, hist, p=None):
         win_desc=np.zeros((0, pg.BRIEF_BITS), bool),
         win_X=np.zeros((0, 3))))
     return k
+
+
+def _dummy_desc(n=1):
+    return np.zeros((n, pg.BRIEF_BITS), np.uint8)
 
 
 def _rand_hist(rng, words=40):
@@ -57,10 +62,10 @@ def test_detect_loop_dual_threshold():
     # query identical to the place → both top candidates similar → fires,
     # returns the EARLIEST (index 0, not the best-scoring duplicate)
     k = node.graph.n
-    got = node._detect_loop(k, base)
+    got = node._detect_loop(k, base, _dummy_desc())
     assert got == 0, got
     # query matching nothing → no fire
-    assert node._detect_loop(k, _rand_hist(rng)) is None
+    assert node._detect_loop(k, _rand_hist(rng), _dummy_desc()) is None
 
 
 def test_detect_loop_needs_second_candidate():
@@ -73,7 +78,7 @@ def test_detect_loop_needs_second_candidate():
         _push_hist(node, _rand_hist(rng))
     # only ONE candidate resembles the query; with sim_lo ≈ sim_hi the
     # second-candidate gate fails
-    assert node._detect_loop(node.graph.n, base) is None
+    assert node._detect_loop(node.graph.n, base, _dummy_desc()) is None
 
 
 def test_exclusion_window():
@@ -83,7 +88,7 @@ def test_exclusion_window():
     for _ in range(10):
         _push_hist(node, h)
     # all matches are within the exclusion window
-    assert node._detect_loop(node.graph.n, h) is None
+    assert node._detect_loop(node.graph.n, h, _dummy_desc()) is None
 
 
 def test_correct_pose_applies_drift():
@@ -95,3 +100,62 @@ def test_correct_pose_applies_drift():
     np.testing.assert_allclose(p, [1.0, 3.0, 3.0], atol=1e-9)
     R = np.asarray(lie.quat_to_rot(jnp.asarray(q)))
     np.testing.assert_allclose(R @ [1, 0, 0], [0, 1, 0], atol=1e-9)
+
+
+def _push_desc(node, desc, p=None):
+    """Insert a keyframe with a real descriptor set (direct retrieval)."""
+    k = _push_hist(node, np.zeros(pg.BOW_WORDS), p)
+    node._desc_cat = np.concatenate([node._desc_cat,
+                                     desc.astype(np.uint8)])
+    node._desc_off.append(len(node._desc_cat))
+    return k
+
+
+def _flip_bits(rng, desc, n_flip):
+    out = desc.copy()
+    for row in out:
+        idx = rng.choice(desc.shape[1], n_flip, replace=False)
+        row[idx] ^= 1
+    return out
+
+
+def test_direct_similarities_oracle():
+    """posegraph.direct_similarities == naive per-pair min-Hamming loop,
+    including empty keyframes."""
+    rng = np.random.default_rng(3)
+    sizes = (5, 0, 7, 3)
+    descs = [rng.integers(0, 2, (m, pg.BRIEF_BITS)).astype(np.uint8)
+             for m in sizes]
+    off = np.concatenate([[0], np.cumsum(sizes)])
+    cat = np.concatenate(descs)
+    q = rng.integers(0, 2, (6, pg.BRIEF_BITS)).astype(np.uint8)
+    got = pg.direct_similarities(cat, off, q, ham_thresh=120)
+    for k, d in enumerate(descs):
+        if len(d) == 0:
+            assert got[k] == 0.0
+            continue
+        ham = (q[:, None, :] ^ d[None, :, :]).sum(-1)
+        want = (ham.min(1) < 120).mean()
+        np.testing.assert_allclose(got[k], want)
+
+
+def test_detect_loop_direct_retrieval():
+    """Direct BRIEF set matching: a revisit (same descriptors, a few bits
+    flipped) fires and returns the earliest instance; unrelated random
+    descriptor sets never fire (random 256-bit pairs sit ~128±8 bits apart,
+    far outside the 48-bit match radius)."""
+    rng = np.random.default_rng(4)
+    node = _node(retrieval="direct", sim_hi=None)
+    assert node.sim_hi == 0.9    # per-retrieval default resolved
+    place = rng.integers(0, 2, (40, pg.BRIEF_BITS)).astype(np.uint8)
+    _push_desc(node, place)                                  # kf 0
+    _push_desc(node, _flip_bits(rng, place, 5))              # kf 1 same place
+    for _ in range(8):
+        _push_desc(node, rng.integers(0, 2, (40, pg.BRIEF_BITS))
+                   .astype(np.uint8))
+    k = node.graph.n
+    got = node._detect_loop(k, np.zeros(pg.BOW_WORDS),
+                            _flip_bits(rng, place, 5))
+    assert got == 0, got
+    novel = rng.integers(0, 2, (40, pg.BRIEF_BITS)).astype(np.uint8)
+    assert node._detect_loop(k, np.zeros(pg.BOW_WORDS), novel) is None
