@@ -36,6 +36,7 @@ from anticipated_vins_mono_tpu.ops.window import (
     PriorFactor, WindowConfig, WindowMeasurements, WindowState, lm_solve)
 from anticipated_vins_mono_tpu.ops import marginalization as mg
 from anticipated_vins_mono_tpu.models.feature_db import FeatureDB
+from anticipated_vins_mono_tpu.utils.jaxenv import on_host
 from anticipated_vins_mono_tpu.utils.sequence import FrameMeasurement
 
 MAX_IMU_PER_PAIR = 64  # static pad for per-pair raw IMU buffers

@@ -10,6 +10,34 @@ line is not enough.
 from __future__ import annotations
 
 import os
+from contextlib import nullcontext
+
+
+def host_device():
+    """The host CPU device, or None if the CPU platform isn't registered."""
+    import jax
+    try:
+        return jax.devices("cpu")[0]
+    except Exception:
+        return None
+
+
+def on_host():
+    """Context manager placing tiny host-side JAX ops on the CPU backend.
+
+    The estimator's bookkeeping math (quaternion conversions, one-time
+    initialization SfM) is a handful of scalar-sized ops per frame. When the
+    default backend is an accelerator — worse, a REMOTE one like the axon
+    TPU tunnel where each dispatch is a network round-trip and x64 f64
+    emulation is unreliable — that bookkeeping belongs on the host; only the
+    statically-shaped batched kernels (preintegration, LM solve,
+    marginalization, triangulation, selector logdet) should ride the chip.
+    No-op when the default backend is already CPU."""
+    import jax
+    if jax.default_backend() == "cpu":
+        return nullcontext()
+    d = host_device()
+    return jax.default_device(d) if d is not None else nullcontext()
 
 
 def pin_to_cpu(idx: int) -> None:
