@@ -223,8 +223,11 @@ if __name__ == "__main__":
     ap.add_argument("--out", default="/tmp/avm_bench")
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
+    # CLI spelling of the no-selection policy (grid "no budget" column)
+    policies = [None if p in ("None", "none", "all") else p
+                for p in args.policies]
     rows = run_benchmark(
-        args.sequences, args.policies, kappas=args.kappas,
+        args.sequences, policies, kappas=args.kappas,
         max_seconds=None if args.full_length else args.seconds,
         track_loss_rate=args.track_loss,
         quality_noise_scale=args.quality_noise_scale,
