@@ -57,6 +57,83 @@ def _augmented_system(state: WindowState, meas: WindowMeasurements,
     return H, b
 
 
+def _schur_drop_df(H, b, pose_idx, d: int, land_mask=None):
+    """Drop-set Schur elimination with native-f32 double-float accumulation
+    (ops/df32) — the TPU path (no x64 emulation).
+
+    Exploits the drop set's STRUCTURE instead of a monolithic masked `eigh`
+    (whose f32 eigenvectors at condition ~1e8 cost ~1e-3 relative error):
+    - dropped landmarks form a DIAGONAL block (no factor touches two
+      landmarks) → eliminated analytically with exact products and
+      compensated accumulation, per-landmark eps threshold as the
+      reference's pseudo-inverse does per-eigenvalue
+      (marginalization_factor.cpp:267-281);
+    - the remaining drop block is the 15-dim pose+speedbias of ONE frame at
+      STATIC indices `pose_idx` → pseudo-inverted via a tiny normalized f32
+      `eigh` + DF iterative refinement (df32.eigh_pinv_solve).
+    The keep−drop subtractions — the marginalization's catastrophic
+    cancellation — are kept as (hi, lo) pairs throughout.
+
+    H: [d+F or d, ·] f32; `land_mask` [F] selects dropped landmark columns
+    (d..d+F); returns DF (H_new [d,d], b_new [d]) with drop rows/cols zeroed.
+    """
+    from anticipated_vins_mono_tpu.ops import df32
+
+    if land_mask is not None:
+        h = jnp.diagonal(H)[d:] * land_mask
+        inv_h = jnp.where(h > EIG_EPS, 1.0 / jnp.where(h > EIG_EPS, h, 1.0),
+                          0.0)
+        B = H[:d, d:]                                       # [d, F]
+        C1 = df32.outer_acc(B.T, inv_h)
+        Hx = df32.sub(df32.df(H[:d, :d]), C1)
+        u = inv_h * b[d:]
+        bc = df32.matmul_acc(B.T, u[:, None])
+        bx = df32.sub(df32.df(b[:d]), df32.DF(bc.hi[:, 0], bc.lo[:, 0]))
+    else:
+        Hx = df32.df(H[:d, :d])
+        bx = df32.df(b[:d])
+
+    di = jnp.asarray(pose_idx, jnp.int32)
+    Hdd = df32.DF(Hx.hi[di][:, di], Hx.lo[di][:, di])       # [15,15]
+    Hkd = df32.DF(Hx.hi[:, di], Hx.lo[:, di])               # [d,15]
+    rhs = df32.DF(
+        jnp.concatenate([Hx.hi[di, :], bx.hi[di][:, None]], axis=1),
+        jnp.concatenate([Hx.lo[di, :], bx.lo[di][:, None]], axis=1))
+    X = df32.eigh_pinv_solve(Hdd, rhs)                      # DF [15, d+1]
+    corr = df32.matmul_df_df(Hkd, X)                        # DF [d, d+1]
+    H_new = df32.sub(Hx, df32.DF(corr.hi[:, :d], corr.lo[:, :d]))
+    b_new = df32.sub(bx, df32.DF(corr.hi[:, d], corr.lo[:, d]))
+
+    keep = jnp.ones(d, H.dtype).at[di].set(0.0)
+    H_new = df32.DF(H_new.hi * keep[:, None] * keep[None, :],
+                    H_new.lo * keep[:, None] * keep[None, :])
+    b_new = df32.DF(b_new.hi * keep, b_new.lo * keep)
+    return H_new, b_new
+
+
+def _sqrt_factor_df(H, b):
+    """`_sqrt_factor` for a df32 (H, b): Jacobi-normalized f32 `eigh` on the
+    compensated hi limb (which IS the correctly-rounded true matrix — the
+    point of the df32 Schur step), relative eps threshold, congruence
+    unscaling of the factor."""
+    from anticipated_vins_mono_tpu.ops import df32
+
+    dd = df32.to_f32(df32.DF(jnp.diagonal(H.hi), jnp.diagonal(H.lo)))
+    s = jnp.where(dd > 1e-20, jax.lax.rsqrt(jnp.maximum(dd, 1e-20)), 0.0)
+    Hn = df32.mul_f(H, s[:, None] * s[None, :])
+    w, V = jnp.linalg.eigh(df32.to_f32(Hn))
+    wmax = jnp.maximum(jnp.max(w), 1e-6)
+    ok = w > 1e-4 * wmax
+    w_safe = jnp.where(ok, w, 1.0)
+    sq = jnp.sqrt(w_safe) * ok
+    sq_inv = jnp.where(ok, jax.lax.rsqrt(w_safe), 0.0)
+    s_inv = jnp.where(s > 0, 1.0 / jnp.where(s > 0, s, 1.0), 0.0)
+    J0 = (sq[:, None] * V.T) * s_inv[None, :]
+    b_n = s * df32.to_f32(b)
+    r0 = (sq_inv[:, None] * V.T) @ b_n
+    return J0, r0
+
+
 def _masked_schur(H, b, drop_mask):
     """Schur-eliminate the (dynamically) masked subset.
 
@@ -162,12 +239,17 @@ def marginalize_oldest(state: WindowState, meas: WindowMeasurements,
     drop = drop.at[0:6].set(1.0)                       # pose 0
     drop = drop.at[6 * nf: 6 * nf + 9].set(1.0)        # speed/bias 0
     drop = drop.at[d:].set(anchored0)                  # dropped landmarks
-    H2, b2 = _masked_schur(H, b, drop)
-
-    # kept landmarks never appear in the marginalized factors → their rows
-    # are zero; restrict to the window tangent.
-    Hk, bk = H2[:d, :d], b2[:d]
-    J0, r0 = _sqrt_factor(Hk, bk)
+    if cfg.accum == "df32":
+        pose_idx = list(range(6)) + list(range(6 * nf, 6 * nf + 9))
+        Hk, bk = _schur_drop_df(H, b, tuple(pose_idx), d,
+                                land_mask=anchored0)
+        J0, r0 = _sqrt_factor_df(Hk, bk)
+    else:
+        H2, b2 = _masked_schur(H, b, drop)
+        # kept landmarks never appear in the marginalized factors → their
+        # rows are zero; restrict to the window tangent.
+        Hk, bk = H2[:d, :d], b2[:d]
+        J0, r0 = _sqrt_factor(Hk, bk)
 
     S = _shift_matrix(cfg, 0).astype(J0.dtype)
     J0s = J0 @ S
@@ -199,8 +281,14 @@ def marginalize_second_newest(state: WindowState, prior: PriorFactor,
     drop = jnp.zeros(d, dtype)
     drop = drop.at[6 * fidx: 6 * fidx + 6].set(1.0)
     drop = drop.at[6 * nf + 9 * fidx: 6 * nf + 9 * fidx + 9].set(1.0)
-    H2, b2 = _masked_schur(H, b, drop)
-    J0, r0 = _sqrt_factor(H2, b2)
+    if cfg.accum == "df32":
+        pose_idx = (list(range(6 * fidx, 6 * fidx + 6))
+                    + list(range(6 * nf + 9 * fidx, 6 * nf + 9 * fidx + 9)))
+        H2, b2 = _schur_drop_df(H, b, tuple(pose_idx), d)
+        J0, r0 = _sqrt_factor_df(H2, b2)
+    else:
+        H2, b2 = _masked_schur(H, b, drop)
+        J0, r0 = _sqrt_factor(H2, b2)
     S = _shift_matrix(cfg, fidx).astype(J0.dtype)
     return PriorFactor(J0=(J0 @ S).astype(dtype), r0=r0.astype(dtype),
                        lin=_slide_lin_state(state, fidx, cfg),

@@ -70,6 +70,13 @@ class WindowConfig(NamedTuple):
     # instead of XLA's einsum→cholesky→cho_solve chain. Perf-path only —
     # the f64 accuracy path keeps the XLA solve.
     pallas_schur: bool = False
+    # accumulation precision for the numerically-delicate steps (cost sums,
+    # Schur cancellation, Cholesky solve, marginalization keep−drop):
+    #   "f64"  — cast to f64 (real f64 on CPU/x64; silently f32 without x64)
+    #   "df32" — native-f32 double-float compensated arithmetic (ops/df32):
+    #            the TPU path, no x64 emulation needed. Matches the f64
+    #            path to ~47-bit accumulator precision.
+    accum: str = "f64"
 
     @property
     def nf(self) -> int:
@@ -429,9 +436,11 @@ def linearize(state: WindowState, meas: WindowMeasurements, cfg: WindowConfig,
     return r_all, J_all, p_res, p_rows, p_rho, p_sq
 
 
-def robust_cost(state: WindowState, meas: WindowMeasurements,
+def _cost_terms(state: WindowState, meas: WindowMeasurements,
                 cfg: WindowConfig, anchor_ref=None) -> jax.Array:
-    """0.5·Σ ρ(‖r‖²) over all factors (the objective LM ratchets down)."""
+    """Per-factor cost contributions 0.5·ρ(‖r‖²) as ONE flat vector in the
+    native dtype; accumulation precision is the caller's choice
+    (`robust_cost` → f64 cast, `robust_cost_df` → df32 compensated sum)."""
     f_grid = jnp.arange(cfg.max_feats, dtype=jnp.int32)
     j_grid = jnp.arange(cfg.nf, dtype=jnp.int32)
 
@@ -463,13 +472,8 @@ def robust_cost(state: WindowState, meas: WindowMeasurements,
         c2 = cfg.cauchy_scale ** 2
         return 0.5 * c2 * jnp.log1p(s2 / c2) * valid
 
-    # accumulate factor costs in f64 (identity when x64 is off): LM's
-    # accept/reject compares costs whose difference is ~1e-7 relative —
-    # f32 summation noise over thousands of terms stalls convergence
-    # (SURVEY.md §7 hard part 4 mixed-precision plan)
     pc = jax.vmap(jax.vmap(proj_cost, in_axes=(None, 0)),
-                  in_axes=(0, None))(f_grid, j_grid)\
-        .astype(jnp.float64).sum()
+                  in_axes=(0, None))(f_grid, j_grid).reshape(-1)
 
     def imu_cost(i):
         pre_i = jax.tree_util.tree_map(lambda x: x[i], meas.pre)
@@ -479,10 +483,9 @@ def robust_cost(state: WindowState, meas: WindowMeasurements,
             state.bg[i + 1], pre_i)
         return 0.5 * jnp.sum(res * res) * meas.pre_valid[i]
 
-    ic = jax.vmap(imu_cost)(jnp.arange(cfg.window, dtype=jnp.int32))\
-        .astype(jnp.float64).sum()
+    ic = jax.vmap(imu_cost)(jnp.arange(cfg.window, dtype=jnp.int32))
 
-    rc = 0.0
+    terms = [pc, ic]
     if meas.relo_pts is not None:
         def relo_cost(l):
             a = meas.anchor[l]
@@ -495,22 +498,39 @@ def robust_cost(state: WindowState, meas: WindowMeasurements,
             s2 = jnp.sum(res * res)
             c2 = cfg.cauchy_scale ** 2
             return 0.5 * c2 * jnp.log1p(s2 / c2) * valid
-        rc = jax.vmap(relo_cost)(f_grid).astype(jnp.float64).sum()
+        terms.append(jax.vmap(relo_cost)(f_grid))
 
     dx_lin = state_boxminus(state, meas.prior.lin, cfg)
-    pr = ((meas.prior.r0 + meas.prior.J0 @ dx_lin)
-          * meas.prior.weight).astype(jnp.float64)
-    prc = 0.5 * jnp.sum(pr * pr)
+    pr = (meas.prior.r0 + meas.prior.J0 @ dx_lin) * meas.prior.weight
+    terms.append(0.5 * pr * pr)
 
     if anchor_ref is None:
         anchor_ref = (state.p[0], state.q[0])
     a_res, _ = _anchor_rows(state, anchor_ref, cfg, meas.prior.weight)
-    a_res = a_res.astype(jnp.float64)
-    zc = 0.0
+    terms.append(0.5 * a_res * a_res)
     if meas.zupt_w is not None:
-        zc = 0.5 * jnp.sum(
-            ((meas.zupt_w[:, None] * state.v) ** 2).astype(jnp.float64))
-    return pc + ic + rc + prc + zc + 0.5 * jnp.sum(a_res * a_res)
+        terms.append(0.5 * ((meas.zupt_w[:, None] * state.v) ** 2)
+                     .reshape(-1))
+    return jnp.concatenate(terms)
+
+
+def robust_cost(state: WindowState, meas: WindowMeasurements,
+                cfg: WindowConfig, anchor_ref=None) -> jax.Array:
+    """0.5·Σ ρ(‖r‖²) over all factors, accumulated in f64 (identity when
+    x64 is off): LM's accept/reject compares costs whose difference is
+    ~1e-7 relative — f32 summation noise over thousands of terms stalls
+    convergence (SURVEY.md §7 hard part 4 mixed-precision plan)."""
+    t = _cost_terms(state, meas, cfg, anchor_ref)
+    return jnp.sum(t.astype(jnp.float64))
+
+
+def robust_cost_df(state: WindowState, meas: WindowMeasurements,
+                   cfg: WindowConfig, anchor_ref=None) -> "df32.DF":
+    """Same objective, accumulated with the native-f32 compensated tree sum
+    (the TPU path: no x64 emulation). Returns a df32.DF scalar pair."""
+    from anticipated_vins_mono_tpu.ops import df32
+    t = _cost_terms(state, meas, cfg, anchor_ref)
+    return df32.tree_sum(t)
 
 # ----------------------------------------------------------------------------
 # Normal equations + Schur complement + LM loop
@@ -694,6 +714,63 @@ def schur_solve(H, g, H_lp, h_ll, g_l, lam, cfg: WindowConfig):
     return dx.astype(dtype), d_rho.astype(dtype), pred
 
 
+def schur_solve_df(H, g, H_lp, h_ll, g_l, lam, cfg: WindowConfig):
+    """`schur_solve` with native-f32 double-float accumulation (ops/df32)
+    in place of the f64 casts — the TPU accuracy path (no x64 emulation).
+
+    The delicate steps, each kept as (hi, lo) pairs:
+    - the Schur cancellation H − H_lpᵀ diag⁻¹ H_lp (exact products,
+      compensated accumulation over landmarks);
+    - the reduced gradient g − H_lpᵀ(diag⁻¹ g_l);
+    - the damped, Jacobi-normalized solve: f32 Cholesky + 2 rounds of
+      iterative refinement with DF residuals (classical mixed precision —
+      forward error ~eps_f32 of the TRUE solution, not κ·eps);
+    - landmark back-substitution and the LM model-reduction `pred`.
+    Everything else (assembly) is plain f32, which round-2 CPU evidence
+    showed is sufficient (results/mixed_precision_cpu.json).
+    """
+    from anticipated_vins_mono_tpu.ops import df32
+
+    h_ll_d = h_ll * (1.0 + lam) + 1e-12
+    inv_h = jnp.where(h_ll > 1e-10, 1.0 / h_ll_d, 0.0)
+    C = df32.outer_acc(H_lp, inv_h)                       # DF [D,D]
+    H_red = df32.sub(df32.df(H), C)
+    g_corr = df32.matmul_acc(H_lp, g_l[:, None], w=inv_h)  # DF [D,1]
+    g_red = df32.sub(df32.df(g), df32.DF(g_corr.hi[:, 0], g_corr.lo[:, 0]))
+
+    diag = df32.to_f32(df32.DF(jnp.diagonal(H_red.hi),
+                               jnp.diagonal(H_red.lo)))
+    damp = lam * jnp.maximum(diag, 1e-8) + 1e-10
+    # add damping to the diagonal pair-preserving
+    d_hi, e = df32.two_sum(jnp.diagonal(H_red.hi), damp)
+    d_lo = jnp.diagonal(H_red.lo) + e
+    eye = jnp.eye(H.shape[0], dtype=H.dtype)
+    A = df32.DF(H_red.hi * (1 - eye) + jnp.diag(d_hi),
+                H_red.lo * (1 - eye) + jnp.diag(d_lo))
+    # Jacobi normalization: any consistent scale is algebraically exact,
+    # so plain-f32 scale values are fine
+    dscale = jax.lax.rsqrt(jnp.maximum(d_hi + d_lo, 1e-20))
+    S = dscale[:, None] * dscale[None, :]
+    An = df32.mul_f(A, S)
+    gn = df32.mul_f(g_red, dscale)
+    y = df32.cho_solve_refined(An, gn, iters=2)
+    dx = -y * dscale
+
+    # landmark back-substitution with a compensated H_lp @ dx
+    p, e = df32.two_prod(H_lp, dx[None, :])
+    hd = df32.add_f(df32.tree_sum(p, axis=1), jnp.sum(e, axis=1))
+    d_rho = -inv_h * df32.to_f32(df32.add_f(hd, g_l))
+
+    # predicted reduction: dxᵀ(damp·dx − g_red)/2 + landmark part, in DF
+    t1 = df32.tree_sum(dx * (damp * dx), axis=0)
+    t2_p, t2_e = df32.two_prod(dx, g_red.hi)
+    t2 = df32.add_f(df32.tree_sum(t2_p, axis=0),
+                    jnp.sum(t2_e + dx * g_red.lo, axis=0))
+    lp = jnp.sum(d_rho * (lam * h_ll * d_rho - g_l))
+    pred = 0.5 * (df32.to_f32(df32.sub(t1, t2)) + lp)
+    return dx, d_rho, pred
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def lm_solve(state: WindowState, meas: WindowMeasurements, cfg: WindowConfig):
     """Fixed-iteration branchless Levenberg-Marquardt.
@@ -704,6 +781,9 @@ def lm_solve(state: WindowState, meas: WindowMeasurements, cfg: WindowConfig):
     """
 
     anchor_ref = (state.p[0], state.q[0])
+    use_df = cfg.accum == "df32"
+    if use_df:
+        from anticipated_vins_mono_tpu.ops import df32
 
     def body(_, carry):
         st, lam, cost = carry
@@ -721,18 +801,35 @@ def lm_solve(state: WindowState, meas: WindowMeasurements, cfg: WindowConfig):
             dx, d_rho, pred = schur_solve_fused(H, g, H_lp, h_ll, g_l, lam)
             dx = dx.astype(st.p.dtype)
             d_rho = d_rho.astype(st.p.dtype)
+        elif use_df:
+            dx, d_rho, pred = schur_solve_df(H, g, H_lp, h_ll, g_l, lam, cfg)
         else:
             dx, d_rho, pred = schur_solve(H, g, H_lp, h_ll, g_l, lam, cfg)
+        # a failed factorization (possible in f32 when λ underflows the
+        # representable curvature) yields NaN dx; the branchless blend below
+        # multiplies by 0 — which does NOT stop NaN (0·NaN = NaN). Sanitize
+        # the step and treat the iteration as rejected instead.
+        finite = (jnp.all(jnp.isfinite(dx)) & jnp.all(jnp.isfinite(d_rho))
+                  & jnp.isfinite(pred))
+        dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
+        d_rho = jnp.where(jnp.isfinite(d_rho), d_rho, 0.0)
         cand = retract(st, dx, d_rho, cfg)
-        new_cost = robust_cost(cand, meas, cfg, anchor_ref)
         # NOTE: carrying the candidate's linearization across iterations to
         # skip this residual pass was tried and is SLOWER on TPU — blending
         # the [N,D] Jacobian pytrees through the branchless accept/reject is
         # bandwidth-bound and costs more than the residual re-evaluation.
-
-        rho = ((cost - new_cost) / jnp.maximum(pred, 1e-30))\
+        if use_df:
+            new_cost = robust_cost_df(cand, meas, cfg, anchor_ref)
+            # the compensated difference keeps the ~1e-7-relative cost drop
+            # that decides accept/reject (the f32 sums alone cannot)
+            drop = df32.to_f32(df32.sub(cost, new_cost))
+            ok = (drop > 0) & (pred > 0) & finite
+        else:
+            new_cost = robust_cost(cand, meas, cfg, anchor_ref)
+            drop = cost - new_cost
+            ok = (new_cost < cost) & (pred > 0) & finite
+        rho = (drop / jnp.maximum(pred, 1e-30))\
             .astype(lam.dtype)   # keep the fori_loop carry dtype stable
-        ok = (new_cost < cost) & (pred > 0)
         okf = ok.astype(dx.dtype)
         sel = lambda a, b: okf * b + (1.0 - okf) * a
         st_next = jax.tree_util.tree_map(sel, st, cand)
@@ -744,11 +841,23 @@ def lm_solve(state: WindowState, meas: WindowMeasurements, cfg: WindowConfig):
         else:
             lam_next = jnp.where(ok, lam * cfg.lm_lambda_down,
                                  lam * cfg.lm_lambda_up)
-        lam_next = jnp.clip(lam_next, 1e-12, 1e8)
-        return st_next, lam_next, jnp.where(ok, new_cost, cost)
+        lam_floor = 1e-7 if use_df else 1e-12
+        lam_next = jnp.clip(lam_next, lam_floor, 1e8)
+        if use_df:
+            cost_next = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(ok, b, a), cost, new_cost)
+        else:
+            cost_next = jnp.where(ok, new_cost, cost)
+        return st_next, lam_next, cost_next
 
-    cost0 = robust_cost(state, meas, cfg, anchor_ref)
     lam0 = jnp.asarray(cfg.lm_lambda_init, state.p.dtype)
+    if use_df:
+        cost0 = robust_cost_df(state, meas, cfg, anchor_ref)
+        st, lam, cost = jax.lax.fori_loop(
+            0, cfg.iters, body, (state, lam0, cost0))
+        return st, {"cost0": df32.to_f32(cost0),
+                    "cost": df32.to_f32(cost), "lambda": lam}
+    cost0 = robust_cost(state, meas, cfg, anchor_ref)
     st, lam, cost = jax.lax.fori_loop(
         0, cfg.iters, body, (state, lam0, cost0))
     return st, {"cost0": cost0, "cost": cost, "lambda": lam}

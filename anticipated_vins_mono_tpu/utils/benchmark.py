@@ -81,7 +81,7 @@ def run_one(sequence: str, policy: Optional[str] = "anticipate",
             cam_td: float = 0.0, estimate_td: bool = False,
             survival_weighting: bool = False,
             out_dir: Optional[str] = None, seed: int = 0,
-            dtype: str = "f64") -> dict:
+            dtype: str = "f64", accum: str = None) -> dict:
     """One (sequence, policy, κ) cell. policy=None disables selection
     (all detected features go to the backend). max_seconds=None runs the
     full GT length. hgen: "imu" | "gt" horizon mode. cam_td injects a true
@@ -101,8 +101,13 @@ def run_one(sequence: str, policy: Optional[str] = "anticipate",
                             degrade_after=degrade_after,
                             cam_td=cam_td,
                             tic=tic, qic=qic)
+    # accum: accumulation precision for the solver's delicate steps —
+    # default "f64" (real f64 on CPU/x64); "df32" = native-f32 double-float
+    # compensated arithmetic, the TPU path (ops/df32, no x64 emulation)
+    if accum is None:
+        accum = "df32" if dtype == "f32" else "f64"
     wcfg = WindowConfig(window=10, max_feats=192, iters=8,
-                        estimate_td=estimate_td)
+                        estimate_td=estimate_td, accum=accum)
     sel = None
     if policy is not None:
         # init_threshold=30 matches the reference euroc config
@@ -125,6 +130,7 @@ def run_one(sequence: str, policy: Optional[str] = "anticipate",
         res = run_sequence(est, sim)
     row = {
         "sequence": sequence, "policy": policy or "all", "kappa": kappa,
+        "dtype": dtype, "accum": accum,
         "hgen": hgen, "seed": seed,
         "track_loss_rate": track_loss_rate,
         "real_extrinsics": bool(real_extrinsics),

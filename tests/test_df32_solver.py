@@ -1,0 +1,158 @@
+"""f32-state + df32-accumulation solver parity vs the f64 path.
+
+The round-3 TPU-accuracy requirement (VERDICT item 1): the solver and
+marginalization must reach f64-class results WITHOUT x64 — using the
+native-f32 double-float accumulation in ops/df32. These tests run both
+paths on CPU (where true f64 is available as the oracle) and require the
+df32 path to land within tight multiples of the f64 answer, far inside
+what plain-f32 accumulation achieves (round-2 evidence: pure f32 diverges
+to 63 m ATE on MH_05).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from anticipated_vins_mono_tpu.ops import marginalization as mg
+from anticipated_vins_mono_tpu.ops.preintegration import ImuNoise
+from anticipated_vins_mono_tpu.ops.window import (
+    WindowConfig, WindowMeasurements, lm_solve, robust_cost, robust_cost_df)
+from anticipated_vins_mono_tpu.utils.synthetic import make_window_problem
+
+CFG64 = WindowConfig(window=5, max_feats=48, iters=20, accum="f64")
+CFG_DF = CFG64._replace(accum="df32")
+
+
+def _to_f32(tree):
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.float32)
+        if hasattr(x, "dtype") and x.dtype == jnp.float64 else x, tree)
+
+
+def pos_rmse(a, b):
+    return float(jnp.sqrt(jnp.mean(jnp.sum(
+        (np.float64(a) - np.float64(b)) ** 2, -1))))
+
+
+def test_cost_df_matches_f64():
+    prob = make_window_problem(CFG64, seed=1, perturb=0.7, pixel_noise=0.5)
+    c64 = float(robust_cost(prob.init, prob.meas, CFG64))
+    init32, meas32 = _to_f32(prob.init), _to_f32(prob.meas)
+    cdf = robust_cost_df(init32, meas32, CFG_DF)
+    cdf_v = float(np.float64(cdf.hi) + np.float64(cdf.lo))
+    # inputs are rounded to f32 (relative 1e-7 term perturbations), so the
+    # cost agrees to ~1e-6 relative; the SUM itself adds no further error
+    assert abs(cdf_v - c64) < 3e-6 * abs(c64), (cdf_v, c64)
+
+
+def test_lm_solve_df32_converges_like_f64():
+    # NOTE: the two paths need not agree state-wise — the window has a flat
+    # curved valley where 1e-7-relative cost differences flip LM
+    # accept/reject decisions, so f64 and df32 land at different,
+    # equally-optimal points. The requirement is equal solution QUALITY:
+    # same GT recovery, same final cost (pure-f32 accumulation fails both
+    # by orders of magnitude).
+    prob = make_window_problem(CFG64, seed=1, perturb=1.0)
+    st64, d64 = lm_solve(prob.init, prob.meas, CFG64)
+    init32, meas32 = _to_f32(prob.init), _to_f32(prob.meas)
+    st32, d32 = lm_solve(init32, meas32, CFG_DF)
+    # both must recover GT to cm-level on the noise-free problem
+    assert pos_rmse(st64.p, prob.gt.p) < 3e-2
+    assert pos_rmse(st32.p, prob.gt.p) < 4e-2, pos_rmse(st32.p, prob.gt.p)
+    c64, c32 = float(d64["cost"]), float(d32["cost"])
+    assert c32 < 2.0 * max(c64, 1e-8) + 1e-6, (c32, c64)
+
+
+def test_lm_solve_df32_with_noise():
+    prob = make_window_problem(
+        CFG64, seed=2, perturb=1.0, pixel_noise=1.0,
+        imu_noise=ImuNoise(), bias_scale=1.0)
+    st64, d64 = lm_solve(prob.init, prob.meas, CFG64)
+    st32, d32 = lm_solve(_to_f32(prob.init), _to_f32(prob.meas), CFG_DF)
+    assert float(d32["cost"]) < float(d32["cost0"])
+    # equal-quality: within 2 mm of the f64 solution's GT distance
+    r64 = pos_rmse(st64.p, prob.gt.p)
+    r32 = pos_rmse(st32.p, prob.gt.p)
+    assert r32 < r64 + 2e-3, (r32, r64)
+    assert float(d32["cost"]) < 1.02 * float(d64["cost"]), \
+        (float(d32["cost"]), float(d64["cost"]))
+
+
+def test_schur_drop_df_matches_f64_reduction_same_input():
+    """The df32 keep−drop reduction vs the f64 `_masked_schur` on the SAME
+    f32-assembled (H, b): this isolates the compensated code from the
+    (separately tested, empirically tolerable) f32 assembly rounding."""
+    import jax
+    import jax.numpy as jnp
+
+    prob = make_window_problem(CFG64, seed=3, perturb=0.3, pixel_noise=0.5)
+    st, _ = lm_solve(prob.init, prob.meas, CFG64)
+    d, f, nf = CFG64.dim, CFG64.max_feats, CFG64.nf
+    anchored0 = ((prob.meas.anchor == 0).astype(jnp.float64)
+                 * prob.meas.feat_valid)
+    meas_m = prob.meas._replace(
+        feat_valid=anchored0,
+        pre_valid=prob.meas.pre_valid
+        * (jnp.arange(CFG64.window) == 0).astype(jnp.float64))
+    H, b = mg._augmented_system(st, meas_m, CFG64, (st.p[0], st.q[0]))
+    H32 = jnp.asarray(np.float32(H))
+    b32 = jnp.asarray(np.float32(b))
+    pose_idx = tuple(list(range(6)) + list(range(6 * nf, 6 * nf + 9)))
+    drop = np.zeros(d + f)
+    drop[0:6] = 1
+    drop[6 * nf: 6 * nf + 9] = 1
+    drop[d:] = np.asarray(anchored0)
+    H2, b2 = mg._masked_schur(H32.astype(jnp.float64),
+                              b32.astype(jnp.float64), jnp.asarray(drop))
+    Hm, bm = np.float64(H2)[:d, :d], np.float64(b2)[:d]
+    Hk, bk = mg._schur_drop_df(H32, b32, pose_idx, d,
+                               land_mask=jnp.asarray(anchored0, jnp.float32))
+    Hdf = np.float64(Hk.hi) + np.float64(Hk.lo)
+    bdf = np.float64(bk.hi) + np.float64(bk.lo)
+    scale = np.max(np.abs(Hm))
+    # the Schur cancellation spans ~4 decades here; plain f32 lands ~1e-3
+    # relative — require 4+ decades better
+    assert np.max(np.abs(Hdf - Hm)) < 1e-7 * scale, \
+        np.max(np.abs(Hdf - Hm)) / scale
+    assert np.max(np.abs(bdf - bm)) < 1e-7 * max(np.max(np.abs(bm)), 1e-9)
+
+
+def test_marginalize_oldest_df32_parity():
+    prob = make_window_problem(CFG64, seed=3, perturb=0.3, pixel_noise=0.5)
+    st, _ = lm_solve(prob.init, prob.meas, CFG64)
+    prior64 = mg.marginalize_oldest(st, prob.meas, CFG64)
+    st32, meas32 = _to_f32(st), _to_f32(prob.meas)
+    prior32 = mg.marginalize_oldest(st32, meas32, CFG_DF)
+    # end-to-end prior vs the full-f64 pipeline: the difference is dominated
+    # by the f32 ASSEMBLY rounding of whitened Jacobians through the
+    # cancellation (~1e-3 relative; round-2 CPU evidence shows this costs
+    # ≤1.33× ATE). The compensated reduction itself is exact to ~1e-8 (see
+    # test_schur_drop_df_matches_f64_reduction_same_input).
+    H64 = np.float64(prior64.J0).T @ np.float64(prior64.J0)
+    H32 = np.float64(prior32.J0).T @ np.float64(prior32.J0)
+    scale = np.max(np.abs(H64))
+    assert np.max(np.abs(H32 - H64)) < 1e-2 * scale, \
+        np.max(np.abs(H32 - H64)) / scale
+
+    # and the f32 prior must be USABLE: a subsequent df32 solve with it
+    # stays finite and reduces cost
+    meas_p = meas32._replace(prior=prior32)
+    st2, d2 = lm_solve(st32, meas_p, CFG_DF)
+    assert np.isfinite(float(d2["cost"]))
+    assert float(d2["cost"]) <= float(d2["cost0"]) + 1e-6
+
+
+def test_marginalize_second_newest_df32_parity():
+    prob = make_window_problem(CFG64, seed=4, perturb=0.3, pixel_noise=0.5)
+    st, _ = lm_solve(prob.init, prob.meas, CFG64)
+    prior64 = mg.marginalize_oldest(st, prob.meas, CFG64)
+    p2_64 = mg.marginalize_second_newest(st, prior64, CFG64)
+    st32 = _to_f32(st)
+    # isolate the second-newest step: start from the SAME (f32-cast) prior
+    prior32 = _to_f32(prior64)
+    p2_32 = mg.marginalize_second_newest(st32, prior32, CFG_DF)
+    H64 = np.float64(p2_64.J0).T @ np.float64(p2_64.J0)
+    H32 = np.float64(p2_32.J0).T @ np.float64(p2_32.J0)
+    scale = np.max(np.abs(H64))
+    assert np.max(np.abs(H32 - H64)) < 1e-4 * scale, \
+        np.max(np.abs(H32 - H64)) / scale
