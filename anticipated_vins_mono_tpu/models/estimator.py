@@ -41,6 +41,19 @@ from anticipated_vins_mono_tpu.utils.sequence import FrameMeasurement
 
 MAX_IMU_PER_PAIR = 64  # static pad for per-pair raw IMU buffers
 
+def _host_op(fn, *args):
+    """Run a tiny pure-jnp op on the host CPU backend and return numpy.
+
+    The estimator's per-frame bookkeeping (quaternion conversions, gravity
+    alignment, ypr gauge math) is scalar-sized; on an accelerator backend —
+    worse, the REMOTE axon TPU tunnel — every eager dispatch is a network
+    round-trip. Inputs must be fresh numpy (uncommitted) so
+    jax.default_device can steer the chain to the CPU (see
+    utils/jaxenv.on_host)."""
+    with on_host():
+        return np.asarray(fn(*[jnp.asarray(np.asarray(a)) for a in args]))
+
+
 
 def _np_quat_mul(q, p):
     qw, qx, qy, qz = q
@@ -226,8 +239,8 @@ class VioEstimator:
                 self.q[0] = self.init_hint["q"]
                 self.v[0] = self.init_hint.get("v", np.zeros(3))
             else:
-                R0 = np.asarray(lie.gravity_to_rot(jnp.asarray(fm.acc0)))
-                self.q[0] = np.asarray(lie.rot_to_quat(jnp.asarray(R0.T)))
+                R0 = _host_op(lie.gravity_to_rot, fm.acc0)
+                self.q[0] = _host_op(lie.rot_to_quat, R0.T)
             self.db.add_frame(0, fm.feats)
             self.td_at_frame[0] = self.td
             self.frame_times.append(fm.t)
@@ -298,9 +311,9 @@ class VioEstimator:
                 # stay in INITIAL: slide without building a prior
                 # (estimator.cpp:151-179 — init retried as frames arrive)
                 if keyframe:
-                    R0 = np.asarray(lie.quat_to_rot(jnp.asarray(self.q[0])))
-                    R1 = np.asarray(lie.quat_to_rot(jnp.asarray(self.q[1])))
-                    Ric = np.asarray(lie.quat_to_rot(jnp.asarray(self.qic)))
+                    R0 = _host_op(lie.quat_to_rot, self.q[0])
+                    R1 = _host_op(lie.quat_to_rot, self.q[1])
+                    Ric = _host_op(lie.quat_to_rot, self.qic)
                     self.db.slide_oldest(R0, self.p[0], R1, self.p[1],
                                          self.tic, Ric)
                     self._shift_state(0)
@@ -367,11 +380,12 @@ class VioEstimator:
             # (relo_relative_t/q, estimator.cpp:1117-1127)
             r_p = np.array(new_state.relo_p)
             r_q = np.array(new_state.relo_q)
-            R_r = np.asarray(lie.quat_to_rot(jnp.asarray(r_q)))
+            R_r = _host_op(lie.quat_to_rot, r_q)
             nf1 = cfg.nf - 1
             rel_t = R_r.T @ (np.array(new_state.p[nf1]) - r_p)
-            rel_q = np.asarray(lie.quat_mul(
-                lie.quat_conj(jnp.asarray(r_q)), new_state.q[nf1]))
+            rel_q = _host_op(
+                lambda a, b: lie.quat_mul(lie.quat_conj(a), b),
+                r_q, np.asarray(new_state.q[nf1]))
             self.relo_result = (rel_t, rel_q)
             self.pending_relo = None
             new_state = new_state._replace(relo_p=None, relo_q=None)
@@ -397,9 +411,9 @@ class VioEstimator:
             self.last_keyframe = self._keyframe_snapshot(fm.t)
             self.prior = mg.marginalize_oldest(state_sol, self._measurements(
                 state_sol), cfg)
-            R0 = np.asarray(lie.quat_to_rot(jnp.asarray(self.q[0])))
-            R1 = np.asarray(lie.quat_to_rot(jnp.asarray(self.q[1])))
-            Ric = np.asarray(lie.quat_to_rot(jnp.asarray(self.qic)))
+            R0 = _host_op(lie.quat_to_rot, self.q[0])
+            R1 = _host_op(lie.quat_to_rot, self.q[1])
+            Ric = _host_op(lie.quat_to_rot, self.qic)
             self.db.slide_oldest(R0, self.p[0], R1, self.p[1], self.tic, Ric)
             self._shift_state(0)
             self.imu_pairs.pop(0)
@@ -442,7 +456,7 @@ class VioEstimator:
             db.pts[both, k - 1, :2], db.pts[both, k, :2],
             np.asarray(pre.dq))
         if done:
-            self.qic = np.asarray(lie.rot_to_quat(jnp.asarray(ric)))
+            self.qic = _host_op(lie.rot_to_quat, ric)
             self.calibrate_extrinsic = False   # calibrated; switch to refine
 
     # ------------------------------------------------------------------
@@ -469,13 +483,13 @@ class VioEstimator:
         db = self.db
         sel = np.nonzero((db.ids >= 0) & (db.solved > 0.5)
                          & (db.mask[:, nf1] > 0))[0]
-        Ric = np.asarray(lie.quat_to_rot(jnp.asarray(self.qic)))
+        Ric = _host_op(lie.quat_to_rot, self.qic)
         X = np.zeros((len(sel), 3))
         anchors = db.anchor
         for row, s in enumerate(sel):
             a = int(anchors[s])
             pt_c = db.pts[s, a] / max(db.inv_depth[s], 1e-6)
-            R_a = np.asarray(lie.quat_to_rot(jnp.asarray(self.q[a])))
+            R_a = _host_op(lie.quat_to_rot, self.q[a])
             X[row] = R_a @ (Ric @ pt_c + self.tic) + self.p[a]
         return {
             "t": float(t),
@@ -507,11 +521,10 @@ class VioEstimator:
         if sfm["med_reproj"] > 2.5 / 460.0:
             return False
         R_cw, c_w = sfm["R_cw"], sfm["c_w"]
-        Ric = np.asarray(lie.quat_to_rot(jnp.asarray(self.qic)))  # cam→body
+        Ric = _host_op(lie.quat_to_rot, self.qic)  # cam→body
         # body→world rotations: R_wb = R_cwᵀ · Ricᵀ
         R_wb = np.einsum("nij->nji", R_cw) @ Ric.T
-        q_wb = np.stack([np.asarray(lie.rot_to_quat(jnp.asarray(R)))
-                         for R in R_wb])
+        q_wb = np.stack([_host_op(lie.rot_to_quat, R) for R in R_wb])
 
         # gyro bias LS + repropagation (initial_aligment.cpp:3-37) — host
         # f64 preintegration keeps init behavior identical across backends
@@ -537,12 +550,12 @@ class VioEstimator:
         # gravity-aligned world with zero initial yaw
         p_b = s * c_w - np.einsum("nij,j->ni", R_wb, self.tic)
         p_b = p_b - p_b[0]
-        R0 = np.asarray(lie.gravity_to_rot(jnp.asarray(g_w)))
-        yaw0 = float(np.asarray(lie.rot_to_ypr(jnp.asarray(R0 @ R_wb[0])))[0])
-        Rfix = np.asarray(lie.ypr_to_rot(jnp.asarray([-yaw0, 0.0, 0.0]))) @ R0
+        R0 = _host_op(lie.gravity_to_rot, g_w)
+        yaw0 = float(_host_op(lie.rot_to_ypr, R0 @ R_wb[0])[0])
+        Rfix = _host_op(lie.ypr_to_rot, np.asarray([-yaw0, 0.0, 0.0])) @ R0
         self.p[:] = p_b @ Rfix.T
         for i in range(nf):
-            self.q[i] = np.asarray(lie.rot_to_quat(jnp.asarray(Rfix @ R_wb[i])))
+            self.q[i] = _host_op(lie.rot_to_quat, Rfix @ R_wb[i])
             self.v[i] = Rfix @ (R_wb[i] @ vel_body[i])
         self.ba[:] = 0.0
         # depths: force re-triangulation with the metric poses
@@ -660,8 +673,8 @@ class VioEstimator:
         loss's job (estimator.cpp:717).
         """
         db, cfg = self.db, self.cfg
-        R = np.asarray(lie.quat_to_rot(jnp.asarray(self.q)))
-        Ric = np.asarray(lie.quat_to_rot(jnp.asarray(self.qic)))
+        R = _host_op(lie.quat_to_rot, self.q)
+        Ric = _host_op(lie.quat_to_rot, self.qic)
         valid = np.nonzero(db.feat_valid * db.solved)[0]
         anchor = db.anchor
         for s in valid:

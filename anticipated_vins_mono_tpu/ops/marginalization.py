@@ -89,6 +89,10 @@ def _schur_drop_df(H, b, pose_idx, d: int, land_mask=None):
         u = inv_h * b[d:]
         bc = df32.matmul_acc(B.T, u[:, None])
         bx = df32.sub(df32.df(b[:d]), df32.DF(bc.hi[:, 0], bc.lo[:, 0]))
+    elif isinstance(H, df32.DF):
+        # the second-newest path hands the prior's information in directly,
+        # already compensated (J0ᵀJ0 reconstructed with matmul_acc)
+        Hx, bx = H, b
     else:
         Hx = df32.df(H[:d, :d])
         bx = df32.df(b[:d])
@@ -112,25 +116,70 @@ def _schur_drop_df(H, b, pose_idx, d: int, land_mask=None):
 
 
 def _sqrt_factor_df(H, b):
-    """`_sqrt_factor` for a df32 (H, b): Jacobi-normalized f32 `eigh` on the
-    compensated hi limb (which IS the correctly-rounded true matrix — the
-    point of the df32 Schur step), relative eps threshold, congruence
-    unscaling of the factor."""
+    """`_sqrt_factor` for a df32 (H, b) via a DF-congruence factorization.
+
+    A plain f32 `eigh` cannot express the prior's SMALL eigenvalues — the
+    gauge-anchor information sits ~8 decades below the whitened IMU
+    curvature, under the f32 eigh noise floor (eps32·‖H‖) — and losing it
+    every slide lets the window free-float (measured: 11 m ATE over 45 s vs
+    0.03 m over 12 s). Instead the f32 eigh supplies only an APPROXIMATE
+    diagonalizing basis V; all precision flows through the compensated
+    congruence M = Vᵀ·H·V (DF — the small curvature survives as accurate
+    small diagonal entries of M). After symmetric normalization by
+    √diag(M), Mn ≈ I + O(1e-3), whose f32 Cholesky is unconditionally
+    stable: H = J0ᵀJ0 with J0 = Lᵀ·diag(√Mᵢᵢ)·Vᵀ·diag(1/s), each row
+    carrying its OWN scale — exactly representable in f32 across the full
+    eigen-spectrum. Mirrors the reference's eigenvalue-sqrt factorization
+    (marginalization_factor.cpp:283-291) at df32 accuracy without f64.
+    """
     from anticipated_vins_mono_tpu.ops import df32
 
     dd = df32.to_f32(df32.DF(jnp.diagonal(H.hi), jnp.diagonal(H.lo)))
-    s = jnp.where(dd > 1e-20, jax.lax.rsqrt(jnp.maximum(dd, 1e-20)), 0.0)
+    ddmax = jnp.maximum(jnp.max(dd), 1e-20)
+    live = dd > 1e-12 * ddmax           # structurally-present states
+    s = jnp.where(live, jax.lax.rsqrt(jnp.maximum(dd, 1e-20)), 0.0)
     Hn = df32.mul_f(H, s[:, None] * s[None, :])
-    w, V = jnp.linalg.eigh(df32.to_f32(Hn))
-    wmax = jnp.maximum(jnp.max(w), 1e-6)
-    ok = w > 1e-4 * wmax
-    w_safe = jnp.where(ok, w, 1.0)
-    sq = jnp.sqrt(w_safe) * ok
-    sq_inv = jnp.where(ok, jax.lax.rsqrt(w_safe), 0.0)
+    _, V = jnp.linalg.eigh(df32.to_f32(Hn))      # basis only
+    # M = Vᵀ Hn V in DF (two compensated products)
+    T1 = df32.matmul_df_f(Hn, V)                              # DF [D,D]
+    M = df32.matmul_df_f(df32.DF(T1.hi.T, T1.lo.T), V)        # (Vᵀ Hn V)ᵀ
+    M = df32.DF(0.5 * (M.hi + M.hi.T), 0.5 * (M.lo + M.lo.T))
+    md = df32.to_f32(df32.DF(jnp.diagonal(M.hi), jnp.diagonal(M.lo)))
+    mmax = jnp.maximum(jnp.max(md), 1e-20)
+    # eps threshold, as the reference's pseudo-sqrt. Two constraints pin
+    # it (both MEASURED on cascaded priors): (a) Cholesky stability —
+    # directions with md below the congruence noise floor (~eps32·mmax)
+    # blow up the normalized couplings (md=1e-9·mmax ⇒ |offdiag| 0.77,
+    # indefinite ⇒ NaN; 1e-7 ⇒ 0.001); (b) gauge retention — the
+    # anchor-inherited absolute-pose information sits at ~1e-4·mmax in the
+    # NORMALIZED space (Jacobi scaling divides by the same position-block
+    # diagonal), and cutting at 1e-4 was exactly the round-3 45-s
+    # random-walk bug. 1e-6 clears both by two decades.
+    ok = md > 1e-6 * mmax
+    si = jnp.sqrt(jnp.maximum(md, 1e-30)) * ok
+    si_inv = jnp.where(ok, 1.0 / jnp.where(ok, jnp.sqrt(
+        jnp.maximum(md, 1e-30)), 1.0), 0.0)
+    Mn = df32.mul_f(M, si_inv[:, None] * si_inv[None, :])
+    eye = jnp.eye(M.hi.shape[0], dtype=M.hi.dtype)
+    okm = ok[:, None] * ok[None, :]
+    Mn_hi = jnp.where(okm > 0, df32.to_f32(Mn), eye)
+    # tiny diagonal guard: inflates curvature by 1e-4 relative (below the
+    # f32 assembly noise) and keeps the factorization PD against residual
+    # coupling noise
+    L = jnp.linalg.cholesky(Mn_hi + 1e-4 * eye)
+    U = L.T * si[None, :]                        # M = UᵀU
     s_inv = jnp.where(s > 0, 1.0 / jnp.where(s > 0, s, 1.0), 0.0)
-    J0 = (sq[:, None] * V.T) * s_inv[None, :]
+    J0 = (U @ V.T) * s_inv[None, :]
     b_n = s * df32.to_f32(b)
-    r0 = (sq_inv[:, None] * V.T) @ b_n
+    rhs = (V.T @ b_n) * jnp.where(ok, si_inv, 0.0)
+    r0 = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
+    r0 = jnp.where(ok, r0, 0.0)
+    J0 = J0 * ok[:, None]
+    # last-resort guard: a failed factorization must DEGRADE the prior (zero
+    # rows), never poison every subsequent window with NaN
+    bad = ~(jnp.all(jnp.isfinite(J0), axis=1) & jnp.isfinite(r0))
+    J0 = jnp.where(bad[:, None], 0.0, J0)
+    r0 = jnp.where(bad, 0.0, r0)
     return J0, r0
 
 
@@ -275,18 +324,25 @@ def marginalize_second_newest(state: WindowState, prior: PriorFactor,
     from anticipated_vins_mono_tpu.ops.window import state_boxminus
     dx = state_boxminus(state, prior.lin, cfg)
     r_now = prior.r0 + prior.J0 @ dx
-    H = prior.J0.T @ prior.J0
-    b = prior.J0.T @ r_now
     fidx = nf - 2
-    drop = jnp.zeros(d, dtype)
-    drop = drop.at[6 * fidx: 6 * fidx + 6].set(1.0)
-    drop = drop.at[6 * nf + 9 * fidx: 6 * nf + 9 * fidx + 9].set(1.0)
     if cfg.accum == "df32":
+        from anticipated_vins_mono_tpu.ops import df32
+        # reconstruct the prior information compensated: a plain f32 J0ᵀJ0
+        # buries the prior's small (gauge) rows under eps32 of the whitened
+        # entries — the same loss _sqrt_factor_df exists to prevent
+        H = df32.matmul_acc(prior.J0, prior.J0)
+        bc = df32.matmul_acc(prior.J0, r_now[:, None])
+        b = df32.DF(bc.hi[:, 0], bc.lo[:, 0])
         pose_idx = (list(range(6 * fidx, 6 * fidx + 6))
                     + list(range(6 * nf + 9 * fidx, 6 * nf + 9 * fidx + 9)))
         H2, b2 = _schur_drop_df(H, b, tuple(pose_idx), d)
         J0, r0 = _sqrt_factor_df(H2, b2)
     else:
+        H = prior.J0.T @ prior.J0
+        b = prior.J0.T @ r_now
+        drop = jnp.zeros(d, dtype)
+        drop = drop.at[6 * fidx: 6 * fidx + 6].set(1.0)
+        drop = drop.at[6 * nf + 9 * fidx: 6 * nf + 9 * fidx + 9].set(1.0)
         H2, b2 = _masked_schur(H, b, drop)
         J0, r0 = _sqrt_factor(H2, b2)
     S = _shift_matrix(cfg, fidx).astype(J0.dtype)

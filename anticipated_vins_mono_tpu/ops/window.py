@@ -70,6 +70,10 @@ class WindowConfig(NamedTuple):
     # instead of XLA's einsum→cholesky→cho_solve chain. Perf-path only —
     # the f64 accuracy path keeps the XLA solve.
     pallas_schur: bool = False
+    # blocked batched Cholesky + matmul substitutions (ops/blocked_chol):
+    # replaces XLA's row-serial triangular kernels in the perf path —
+    # measured 74% of the Schur stage on TPU (results/r3/bench_profile.json)
+    fast_chol: bool = False
     # accumulation precision for the numerically-delicate steps (cost sums,
     # Schur cancellation, Cholesky solve, marginalization keep−drop):
     #   "f64"  — cast to f64 (real f64 on CPU/x64; silently f32 without x64)
@@ -703,8 +707,14 @@ def schur_solve(H, g, H_lp, h_ll, g_l, lam, cfg: WindowConfig):
     # hard part 4 mixed-precision plan).
     dscale = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(A), 1e-20))
     An = A * dscale[:, None] * dscale[None, :]
-    L = jnp.linalg.cholesky(An)
-    y = -jax.scipy.linalg.cho_solve((L, True), g_red * dscale)
+    if cfg.fast_chol:
+        from anticipated_vins_mono_tpu.ops.blocked_chol import (
+            blocked_cho_solve, blocked_cholesky)
+        L, Linv, D0 = blocked_cholesky(An)
+        y = -blocked_cho_solve(L, Linv, D0, g_red * dscale)
+    else:
+        L = jnp.linalg.cholesky(An)
+        y = -jax.scipy.linalg.cho_solve((L, True), g_red * dscale)
     dx = y * dscale
     d_rho = -inv_h * (g_l + H_lp @ dx)
     # predicted cost reduction of the damped quadratic model (for the LM

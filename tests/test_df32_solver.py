@@ -142,6 +142,39 @@ def test_marginalize_oldest_df32_parity():
     assert float(d2["cost"]) <= float(d2["cost0"]) + 1e-6
 
 
+def test_second_newest_cascade_stays_finite_and_close():
+    """Regression for the round-3 NaN: 30 consecutive non-keyframe slides
+    (hover phase) must keep the df32 prior finite AND close to the f64
+    cascade — the original congruence threshold admitted sub-noise
+    directions whose normalized couplings made the Cholesky indefinite on
+    the FIRST cascaded re-factorization (silent NaN prior → LM rejected
+    every step → pure dead-reckoning drift)."""
+    import jax.tree_util as jtu
+
+    prob = make_window_problem(CFG64, seed=3, perturb=0.3, pixel_noise=0.5)
+    st, _ = lm_solve(prob.init, prob.meas, CFG64)
+    p64 = mg.marginalize_oldest(st, prob.meas, CFG64)
+    st32 = _to_f32(st)
+    p32 = _to_f32(p64)
+    for _ in range(30):
+        p64 = mg.marginalize_second_newest(st, p64, CFG64)
+        p32 = mg.marginalize_second_newest(st32, p32, CFG_DF)
+    assert bool(jnp.all(jnp.isfinite(p32.J0))), "NaN in cascaded df32 prior"
+    assert bool(jnp.all(jnp.isfinite(p32.r0)))
+    H64 = np.float64(p64.J0).T @ np.float64(p64.J0)
+    H32 = np.float64(p32.J0).T @ np.float64(p32.J0)
+    scale = np.max(np.abs(H64))
+    assert np.max(np.abs(H32 - H64)) < 1e-2 * scale, \
+        np.max(np.abs(H32 - H64)) / scale
+    # the prior must still RETAIN the gauge information: positive curvature
+    # in the absolute-position directions of the oldest pose
+    w32 = np.linalg.eigvalsh(H32)
+    n_pos32 = int((w32 > 1e-6 * w32[-1]).sum())
+    w64 = np.linalg.eigvalsh(H64)
+    n_pos64 = int((w64 > 1e-6 * w64[-1]).sum())
+    assert n_pos32 >= n_pos64 - 2, (n_pos32, n_pos64)
+
+
 def test_marginalize_second_newest_df32_parity():
     prob = make_window_problem(CFG64, seed=4, perturb=0.3, pixel_noise=0.5)
     st, _ = lm_solve(prob.init, prob.meas, CFG64)
