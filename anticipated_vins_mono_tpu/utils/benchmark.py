@@ -79,6 +79,7 @@ def run_one(sequence: str, policy: Optional[str] = "anticipate",
             slip_px: float = 2.5, degrade_after: float = 0.0,
             real_extrinsics: bool = False, hgen: str = "imu",
             cam_td: float = 0.0, estimate_td: bool = False,
+            clean_velocity: bool = False,
             survival_weighting: bool = False,
             out_dir: Optional[str] = None, seed: int = 0,
             dtype: str = "f64", accum: str = None) -> dict:
@@ -100,6 +101,7 @@ def run_one(sequence: str, policy: Optional[str] = "anticipate",
                             slip_rate=slip_rate, slip_px=slip_px,
                             degrade_after=degrade_after,
                             cam_td=cam_td,
+                            clean_velocity=clean_velocity,
                             tic=tic, qic=qic)
     # accum: accumulation precision for the solver's delicate steps —
     # default "f64" (real f64 on CPU/x64); "df32" = native-f32 double-float
@@ -145,6 +147,7 @@ def run_one(sequence: str, policy: Optional[str] = "anticipate",
     if estimate_td or cam_td:
         row["cam_td"] = cam_td
         row["td_est"] = float(est.td)
+        row["clean_velocity"] = bool(clean_velocity)
     if quality_noise_scale or slip_rate:
         row["quality_noise_scale"] = quality_noise_scale
         row["slip_rate"] = slip_rate
@@ -226,6 +229,7 @@ if __name__ == "__main__":
     ap.add_argument("--workers", type=int, default=1)
     ap.add_argument("--cam-td", type=float, default=0.0)
     ap.add_argument("--estimate-td", action="store_true")
+    ap.add_argument("--clean-velocity", action="store_true")
     ap.add_argument("--out", default="/tmp/avm_bench")
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
@@ -242,6 +246,7 @@ if __name__ == "__main__":
         quality_beta=tuple(args.quality_beta),
         real_extrinsics=args.real_extrinsics, hgen=args.hgen,
         cam_td=args.cam_td, estimate_td=args.estimate_td,
+        clean_velocity=args.clean_velocity,
         survival_weighting=args.survival,
         seeds=args.seeds, n_workers=args.workers, out_dir=args.out)
     if args.json_out:

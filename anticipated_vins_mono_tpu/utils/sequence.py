@@ -98,6 +98,14 @@ class SequenceSimulator:
     # estimator_node.cpp's td handling + projection_td_factor.cpp:50-52) —
     # lets a grid cell exercise online td estimation end-to-end
     cam_td: float = 0.0
+    # velocity channel from CLEAN projections (td-recovery validation):
+    # with velocities differenced from noisy points, the observation noise
+    # appears in both the residual and the regressor — a classic
+    # errors-in-variables bias of sigma^2/dt / (v^2 + sigma^2/dt^2), which
+    # measured +11 ms on slow MH_05 at 0.5 px noise (results/r3/
+    # td_recovery.json). True of any real tracker too; this knob isolates
+    # the estimator's td machinery from the artifact.
+    clean_velocity: bool = False
     # explicit landmark positions [N,3]; None → uniform box around the
     # trajectory (wall_landmarks() gives revisit-consistent surface points
     # for loop-closure scenarios)
@@ -233,7 +241,8 @@ class SequenceSimulator:
                                 if degrade else 0.0))
                     pt[:2] += self.rng.normal(size=2) * sigma / 460.0
                 prev = self._prev_pts.get(i)
-                vel = (pt[:2] - prev[:2]) / dt_f if prev is not None else np.zeros(2)
+                vsrc = pts[i][:2] if self.clean_velocity else pt[:2]
+                vel = (vsrc - prev[:2]) / dt_f if prev is not None else np.zeros(2)
                 feats[self._id_of[i]] = (pt, vel, float(self.lm_quality[i]))
             self._prev_pts = {i: pts[i].copy() for i in kept}
 

@@ -35,8 +35,12 @@ def main():
     from anticipated_vins_mono_tpu.ops.window import WindowConfig, lm_solve
     from anticipated_vins_mono_tpu.utils.synthetic import make_window_problem
 
-    cfg = WindowConfig(window=10, max_feats=128, iters=8)
-    prob = make_window_problem(cfg, seed=0, perturb=0.3, pixel_noise=0.5,
+    # fast_chol: blocked batched Cholesky + matmul substitutions
+    # (ops/blocked_chol.py) replacing XLA's row-serial triangular kernels —
+    # measured 1.28x end-to-end on this workload (results/r3)
+    cfg = WindowConfig(window=10, max_feats=128, iters=8, fast_chol=True)
+    prob = make_window_problem(cfg._replace(fast_chol=False), seed=0,
+                               perturb=0.3, pixel_noise=0.5,
                                dtype=jnp.float32)
 
     B = 64  # scenario batch per chip — the measured throughput knee of the
