@@ -121,6 +121,8 @@ class EstimatorDiagnostics:
     # (the reference's per-stage TicToc table, results.tex:74-83)
     sel_s: list = field(default_factory=list)
     solve_s: list = field(default_factory=list)
+    # solves where no LM iteration was accepted despite a large cost0
+    lm_stalls: int = 0
 
 
 class VioEstimator:
@@ -367,6 +369,13 @@ class VioEstimator:
         new_state, sdiag = lm_solve(state, meas, cfg)
         self.diag.solves += 1
         self.diag.costs.append(float(sdiag["cost"]))  # float() syncs device
+        # a solve whose cost never improved means EVERY LM iteration was
+        # rejected — either truly converged (tiny cost0) or a silently-dead
+        # solver (e.g. a non-finite prior; the round-3 df32 NaN bug showed
+        # as exactly this). Count it so runs can't die quietly.
+        if float(sdiag["cost"]) >= float(sdiag["cost0"]) and \
+                float(sdiag["cost0"]) > 1e3:
+            self.diag.lm_stalls += 1
         self.diag.solve_s.append(_time.perf_counter() - _t0)
         self.last_solve = (state, meas, new_state)  # diagnostics hook
 

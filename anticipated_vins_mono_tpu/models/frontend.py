@@ -191,49 +191,102 @@ def _bilinear(img: jax.Array, uv: jax.Array):
             + v10 * (1 - fx) * fy + v11 * fx * fy)
 
 
-@functools.partial(jax.jit, static_argnames=("half", "iters", "levels"))
+def _extract_patches(img: jax.Array, anchor: jax.Array, S: int):
+    """Gather [N,S,S] patches with top-left integer corners `anchor` [N,2]
+    (x,y), border-replicated. ONE gather for all points — the only gather
+    the tracker issues per (level, image)."""
+    H, W = img.shape
+    ar = jnp.arange(S, dtype=jnp.int32)
+    ys = jnp.clip(anchor[:, 1, None, None] + ar[None, :, None], 0, H - 1)
+    xs = jnp.clip(anchor[:, 0, None, None] + ar[None, None, :], 0, W - 1)
+    return img[ys, xs]
+
+
+def _shift_sample(P: jax.Array, iy, ix, fy, fx, win: int):
+    """Sample [N,win,win] windows from patches P [N,S,S] translated by an
+    integer offset (iy, ix) [N] plus a fractional (fy, fx) [N]: a vmapped
+    contiguous dynamic_slice + a separable 2-tap filter — no gathers."""
+    def slice_one(p, y0, x0):
+        return jax.lax.dynamic_slice(p, (y0, x0), (win + 1, win + 1))
+
+    Pw = jax.vmap(slice_one)(P, iy, ix)                       # [N,w+1,w+1]
+    fx_ = fx[:, None, None]
+    fy_ = fy[:, None, None]
+    Px = (1.0 - fx_) * Pw[:, :, :-1] + fx_ * Pw[:, :, 1:]
+    return (1.0 - fy_) * Px[:, :-1, :] + fy_ * Px[:, 1:, :]  # [N,win,win]
+
+
+@functools.partial(jax.jit, static_argnames=("half", "iters", "levels",
+                                             "pad"))
 def lk_track(prev_pyr: tuple, cur_pyr: tuple, pts: jax.Array,
              valid: jax.Array, half: int = 7, iters: int = 10,
-             levels: int = 3):
+             levels: int = 3, pad: int = 8):
     """Pyramidal Lucas-Kanade: track `pts` [N,2] from prev to cur.
 
     Mirrors cv::calcOpticalFlowPyrLK usage (feature_tracker.cpp:54-60,
     winsize 15x15 ⇒ half=7, 3 levels). Returns (new_pts [N,2], ok [N]).
+
+    TPU-shaped (round-3 rewrite): the original per-point `_bilinear`
+    formulation issued ~1M scattered gathers per frame and measured
+    64 ms/frame on the chip (results/r3/tracker_tpu.json). Here each level
+    extracts ONE local patch per image per point (two big gathers), the
+    template/gradients come from static slices + a separable 2-tap
+    fractional filter, and every GN iteration samples the moving window
+    with a contiguous dynamic_slice + the same 2-tap filter — elementwise
+    VPU work. `pad` bounds the per-level search excursion (flow beyond it
+    clamps and fails the residual check, like leaving cv's pyramid basin).
     """
     N = pts.shape[0]
     dtype = pts.dtype
-    offs = jnp.stack(jnp.meshgrid(
-        jnp.arange(-half, half + 1, dtype=dtype),
-        jnp.arange(-half, half + 1, dtype=dtype), indexing="xy"),
-        axis=-1).reshape(-1, 2)                       # [P,2]
+    win = 2 * half + 1
 
     def track_level(flow, level):
         scale = 2.0 ** level
         prev_img = prev_pyr[level]
         cur_img = cur_pyr[level]
         p_lvl = pts / scale
+        p0 = jnp.floor(p_lvl)
+        f = p_lvl - p0                                # [N,2] in [0,1)
+        p0i = p0.astype(jnp.int32)
 
-        def one_point(p0, fl):
-            grid = p0[None, :] + offs                 # [P,2]
-            T = _bilinear(prev_img, grid)
-            gx = 0.5 * (_bilinear(prev_img, grid + jnp.array([1.0, 0], dtype))
-                        - _bilinear(prev_img, grid - jnp.array([1.0, 0], dtype)))
-            gy = 0.5 * (_bilinear(prev_img, grid + jnp.array([0.0, 1], dtype))
-                        - _bilinear(prev_img, grid - jnp.array([0.0, 1], dtype)))
-            G = jnp.stack([gx, gy], -1)               # [P,2]
-            H2 = G.T @ G + 1e-6 * jnp.eye(2, dtype=dtype)
+        # template + gradients from ONE prev-patch gather
+        Sp = win + 4                                  # ±(half+1) + bilinear
+        Pp = _extract_patches(prev_img, p0i - (half + 1), Sp)
+        fx_ = f[:, 0, None, None]
+        fy_ = f[:, 1, None, None]
+        Px = (1.0 - fx_) * Pp[:, :, :-1] + fx_ * Pp[:, :, 1:]
+        Pxy = (1.0 - fy_) * Px[:, :-1, :] + fy_ * Px[:, 1:, :]  # [N,Sp-1,Sp-1]
+        T = Pxy[:, 1:1 + win, 1:1 + win]
+        gx = 0.5 * (Pxy[:, 1:1 + win, 2:2 + win]
+                    - Pxy[:, 1:1 + win, 0:win])
+        gy = 0.5 * (Pxy[:, 2:2 + win, 1:1 + win]
+                    - Pxy[:, 0:win, 1:1 + win])
+        # 2×2 normal matrix, closed-form inverse
+        gxx = jnp.sum(gx * gx, (-2, -1)) + 1e-6
+        gyy = jnp.sum(gy * gy, (-2, -1)) + 1e-6
+        gxy = jnp.sum(gx * gy, (-2, -1))
+        det = gxx * gyy - gxy * gxy
 
-            def it(fl, _):
-                I = _bilinear(cur_img, grid + fl[None, :])
-                err = I - T
-                b = G.T @ err
-                d = jnp.linalg.solve(H2, -b)
-                return fl + d, None
+        # cur-patch gather with excursion margin
+        Sc = win + 2 * pad + 1
+        Pc = _extract_patches(cur_img, p0i - (half + pad), Sc)
 
-            fl, _ = jax.lax.scan(it, fl, None, length=iters)
-            return fl
+        def it(fl, _):
+            t = f + fl                                # total frac+int shift
+            ti = jnp.floor(t)
+            tf = t - ti
+            iy = jnp.clip(ti[:, 1].astype(jnp.int32) + pad, 0, 2 * pad)
+            ix = jnp.clip(ti[:, 0].astype(jnp.int32) + pad, 0, 2 * pad)
+            I = _shift_sample(Pc, iy, ix, tf[:, 1], tf[:, 0], win)
+            err = I - T
+            bx = jnp.sum(gx * err, (-2, -1))
+            by = jnp.sum(gy * err, (-2, -1))
+            dx = -(gyy * bx - gxy * by) / det
+            dy = -(gxx * by - gxy * bx) / det
+            return fl + jnp.stack([dx, dy], -1), None
 
-        return jax.vmap(one_point)(p_lvl, flow)
+        fl, _ = jax.lax.scan(it, flow, None, length=iters)
+        return fl
 
     flow = jnp.zeros((N, 2), dtype)
     for level in range(levels - 1, -1, -1):
@@ -243,6 +296,10 @@ def lk_track(prev_pyr: tuple, cur_pyr: tuple, pts: jax.Array,
     new_pts = pts + flow
 
     # validity: in-border (BORDER=1 px like :68-73 BORDER_SIZE) + residual check
+    offs = jnp.stack(jnp.meshgrid(
+        jnp.arange(-half, half + 1, dtype=dtype),
+        jnp.arange(-half, half + 1, dtype=dtype), indexing="xy"),
+        axis=-1).reshape(-1, 2)                       # [P,2]
     H, W = cur_pyr[0].shape
     inb = (new_pts[:, 0] > 2) & (new_pts[:, 0] < W - 3) & \
         (new_pts[:, 1] > 2) & (new_pts[:, 1] < H - 3)

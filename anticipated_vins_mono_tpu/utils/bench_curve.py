@@ -37,7 +37,8 @@ def run_curve(batch_sizes=(16, 64, 128, 256, 512), reps: int = 10,
     from anticipated_vins_mono_tpu.ops.window import WindowConfig, lm_solve
     from anticipated_vins_mono_tpu.utils.synthetic import make_window_problem
 
-    cfg = WindowConfig(window=10, max_feats=128, iters=8)
+    # fast_chol: blocked Cholesky + matmul substitutions (1.28x, round 3)
+    cfg = WindowConfig(window=10, max_feats=128, iters=8, fast_chol=True)
     prob = make_window_problem(cfg, seed=0, perturb=0.3, pixel_noise=0.5,
                                dtype=jnp.float32)
     rows = []

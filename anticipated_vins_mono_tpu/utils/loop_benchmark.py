@@ -73,7 +73,8 @@ def run_loop_benchmark(duration: float = 90.0, laps: float | None = None,
 
     laps=None keeps one lap per 10 s (ω̄≈0.63 rad/s). Slower laps starve
     the IMU of excitation — at 2 laps/40 s the centripetal specific force
-    drops ~4× and even the noise-free VIO drifts 17 m (measured) because
+    drops ~4× and even the noise-free VIO drifts ~17 m (anecdotal
+    development observation, not a committed artifact) because
     scale/gravity are barely observable on a near-constant accelerometer.
     """
     if laps is None:
@@ -92,9 +93,11 @@ def run_loop_benchmark(duration: float = 90.0, laps: float | None = None,
     # interior points' BRIEF descriptors (wall texture behind them) don't
     # match across visits, so they feed the ESTIMATOR only; the wall points
     # carry the loop-closure descriptor matching.
-    # density/extent matter: measured on this circuit, wall+1500 interior in
-    # a tight box still drifts 5 m (too few interior points in the outward
-    # view), wall+4000 in a ±4 m box holds 1.1 m
+    # density/extent matter (anecdotal development observations, not
+    # committed artifacts): wall+1500 interior in a tight box still drifts
+    # ~5 m (too few interior points in the outward view); wall+4000 in a
+    # ±4 m box held ~1 m. The committed numbers are in
+    # results/r3/loop_benchmark*.json
     rng = np.random.default_rng(seed + 13)
     lo, hi = traj.p.min(0) - 4.0, traj.p.max(0) + 4.0
     lms = np.concatenate([lms_wall, rng.uniform(lo, hi, size=(4000, 3))])
@@ -112,7 +115,8 @@ def run_loop_benchmark(duration: float = 90.0, laps: float | None = None,
     # unobservable on a constant-rate circuit and drifts as a (tic, map)
     # gauge: body poses stay accurate while the camera cloud wanders tens
     # of meters — silently poisoning every keyframe snapshot's win_X
-    # (measured: tic_y ≈ 30 m after 12 s, snapshot points 160 m out).
+    # (anecdotal development observation: tic_y ≈ 30 m after 12 s,
+    # snapshot points 160 m out; not a committed artifact).
     wcfg = WindowConfig(window=10, max_feats=192, iters=8,
                         estimate_extrinsic=False)
 
