@@ -139,7 +139,16 @@ class VioEstimator:
                  zupt_weight: float = 30.0,
                  zupt_gyr_thresh: float = 0.05,
                  zupt_gyr_mean_thresh: float = 0.03,
-                 zupt_acc_thresh: float = 1.0):
+                 zupt_acc_thresh: float = 1.0,
+                 demote_px: float = 5.0):
+        # landmark demotion threshold [px mean reprojection]. The reference
+        # rejects at 3 px (outliersRejection); round-3 measurement: at 20 px,
+        # slip-corrupted tracks (persistent 2.5-px random-walk offsets)
+        # survive in the window and a kappa=30 budget collects enough of
+        # them to absorb a wrong scale on MH_04's fast segment (7 m ATE);
+        # at 5 px the same cells hold. 4-sigma above the degraded-regime
+        # pixel noise, so clean tracks are untouched.
+        self.demote_px = demote_px
         self.zupt_gyr_mean_thresh = zupt_gyr_mean_thresh
         # zero-velocity updates when the IMU flags a frame stationary —
         # stabilizes the accel-bias/tilt null direction during long hovers
@@ -670,7 +679,9 @@ class VioEstimator:
             return True
         return False
 
-    def _reject_outliers(self, demote_px: float = 20.0):
+    def _reject_outliers(self, demote_px: float = None):
+        if demote_px is None:
+            demote_px = self.demote_px
         """Depth-failure handling (reference removeFailures semantics).
 
         Features whose depth collapsed to the clamp, or whose reprojection is
