@@ -140,7 +140,13 @@ class VioEstimator:
                  zupt_gyr_thresh: float = 0.05,
                  zupt_gyr_mean_thresh: float = 0.03,
                  zupt_acc_thresh: float = 1.0,
-                 demote_px: float = 5.0):
+                 demote_px: float = 5.0,
+                 prob_weight: bool = False,
+                 prob_floor: float = 0.2):
+        # prob-weighted projection factors (see WindowMeasurements.feat_w):
+        # sqrt-info scaled by sqrt(max(prob, floor))
+        self.prob_weight = prob_weight
+        self.prob_floor = prob_floor
         # landmark demotion threshold [px mean reprojection]. The reference
         # rejects at 3 px (outliersRejection); round-3 measurement: at 20 px,
         # slip-corrupted tracks (persistent 2.5-px random-walk offsets)
@@ -646,7 +652,10 @@ class VioEstimator:
             zupt_w=jnp.asarray(self.stationary * self.zupt_weight, d)
             if self.zupt else None,
             td_obs=jnp.asarray(self.td_at_frame, d)
-            if cfg.estimate_td else None)
+            if cfg.estimate_td else None,
+            feat_w=jnp.asarray(np.sqrt(np.maximum(
+                self.db.prob, self.prob_floor)), d)
+            if self.prob_weight else None)
 
     def _adopt(self, st: WindowState):
         self.p = np.array(st.p)

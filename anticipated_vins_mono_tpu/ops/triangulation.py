@@ -60,7 +60,15 @@ def triangulate(state: WindowState, pts: jax.Array, mask: jax.Array,
         w, V = jnp.linalg.eigh(M)
         X = V[:, 0]
         depth = X[2] / jnp.where(jnp.abs(X[3]) < 1e-12, 1e-12, X[3])
-        good = (depth > 0.1) & (m_row.sum() >= 2)
+        # parallax gate (round-3): with ~zero baseline (hover) the DLT depth
+        # is noise-determined yet positive — MEASURED on MH_04's hover→
+        # acceleration transition, a κ=30 window accumulates ~44 such
+        # landmarks whose wrong depths then outvote the IMU 2-3× on scale
+        # (7 m ATE; κ=10 admits 2 and holds 0.1 m). Require the subtended
+        # parallax baseline/depth to exceed ~1.5 px at EuRoC focal length.
+        base = jnp.max(jnp.linalg.norm(t_rel, axis=-1) * m_row)
+        good = ((depth > 0.1) & (m_row.sum() >= 2)
+                & (base > cfg.tri_min_parallax * depth))
         depth = jnp.where(good, depth, 5.0)   # reference default INIT_DEPTH
         return 1.0 / depth, good.astype(pt_row.dtype)
 

@@ -65,6 +65,10 @@ class WindowConfig(NamedTuple):
     lm_lambda_up: float = 4.0
     lm_lambda_down: float = 0.5
     min_inv_depth: float = 0.01  # clamp: depths beyond 100 m
+    # triangulation acceptance: subtended parallax (baseline/depth) must
+    # exceed this [rad] ≈ px/focal. Guards against hover-born zero-baseline
+    # depths (see ops/triangulation.py gate comment)
+    tri_min_parallax: float = 1.5 / 460.0
     lm_strategy: str = "halving"  # "halving" | "nielsen"
     # fused Pallas Schur-reduction/solve kernel (f32, TPU): one launch
     # instead of XLA's einsum→cholesky→cho_solve chain. Perf-path only —
@@ -166,6 +170,15 @@ class WindowMeasurements(NamedTuple):
     # td at each frame's capture (the reference stores td per observation,
     # feature_manager.h FeaturePerFrame::cur_td); None → zeros
     td_obs: jax.Array = None      # [NF]
+    # per-landmark sqrt-information multiplier from the tracker's prob
+    # channel (EXTENSION): the GFTT-score probability predicts slip-prone
+    # tracks (feature_tracker.cpp:300-343 publishes it; the reference
+    # strips it before the backend, estimator_node.cpp:350). Round-3
+    # ablation: self-consistent slipped tracks are invisible to robust
+    # loss AND outlier rejection (the phantom landmark reprojects
+    # consistently); discounting by predicted quality is the only channel
+    # that sees them coming. None → 1.0 everywhere.
+    feat_w: jax.Array = None      # [F]
 
 
 # ----------------------------------------------------------------------------
@@ -266,8 +279,10 @@ def _proj_factor_rows(state: WindowState, meas: WindowMeasurements,
 
     valid = (meas.mask[feat, a] * meas.mask[feat, frame]
              * meas.feat_valid[feat] * (frame != a))
-    sq = jnp.sum(res * res)
-    w = factors.cauchy_weight(sq, cfg.cauchy_scale) * valid
+    fw = meas.feat_w[feat] if meas.feat_w is not None \
+        else jnp.ones((), res.dtype)
+    sq = jnp.sum(res * res) * fw * fw
+    w = factors.cauchy_weight(sq, cfg.cauchy_scale) * valid * fw
     if not cfg.estimate_extrinsic:
         J_e = jnp.zeros_like(J_e)
     return res, (J_a, J_j, J_e, J_td), J_rho, w, sq * valid
@@ -472,7 +487,9 @@ def _cost_terms(state: WindowState, meas: WindowMeasurements,
                 meas.pts[l, a], meas.pts[l, j])
         valid = (meas.mask[l, a] * meas.mask[l, j]
                  * meas.feat_valid[l] * (j != a))
-        s2 = jnp.sum(res * res)
+        fw = meas.feat_w[l] if meas.feat_w is not None \
+            else jnp.ones((), res.dtype)
+        s2 = jnp.sum(res * res) * fw * fw
         c2 = cfg.cauchy_scale ** 2
         return 0.5 * c2 * jnp.log1p(s2 / c2) * valid
 

@@ -80,6 +80,7 @@ def run_one(sequence: str, policy: Optional[str] = "anticipate",
             real_extrinsics: bool = False, hgen: str = "imu",
             cam_td: float = 0.0, estimate_td: bool = False,
             clean_velocity: bool = False,
+            prob_weight: bool = False,
             survival_weighting: bool = False,
             out_dir: Optional[str] = None, seed: int = 0,
             dtype: str = "f64", accum: str = None) -> dict:
@@ -127,6 +128,7 @@ def run_one(sequence: str, policy: Optional[str] = "anticipate",
                                 tic=tic, qic=qic, gt_provider=gt_provider)
     import jax.numpy as jnp
     est = VioEstimator(wcfg, selector=sel, tic=tic, qic=qic,
+                       prob_weight=prob_weight,
                        dtype=jnp.float32 if dtype == "f32" else jnp.float64)
     with TicToc(f"{sequence}:{policy}") as t:
         res = run_sequence(est, sim)
@@ -154,6 +156,8 @@ def run_one(sequence: str, policy: Optional[str] = "anticipate",
         row["degrade_after"] = degrade_after
     if survival_weighting:
         row["survival_weighting"] = True
+    if prob_weight:
+        row["prob_weight"] = True
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
         write_tum(os.path.join(out_dir, f"{sequence}_{policy}_k{kappa}.tum"),
@@ -230,6 +234,7 @@ if __name__ == "__main__":
     ap.add_argument("--cam-td", type=float, default=0.0)
     ap.add_argument("--estimate-td", action="store_true")
     ap.add_argument("--clean-velocity", action="store_true")
+    ap.add_argument("--prob-weight", action="store_true")
     ap.add_argument("--out", default="/tmp/avm_bench")
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
@@ -247,6 +252,7 @@ if __name__ == "__main__":
         real_extrinsics=args.real_extrinsics, hgen=args.hgen,
         cam_td=args.cam_td, estimate_td=args.estimate_td,
         clean_velocity=args.clean_velocity,
+        prob_weight=args.prob_weight,
         survival_weighting=args.survival,
         seeds=args.seeds, n_workers=args.workers, out_dir=args.out)
     if args.json_out:
