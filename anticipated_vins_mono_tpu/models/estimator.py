@@ -123,6 +123,10 @@ class EstimatorDiagnostics:
     solve_s: list = field(default_factory=list)
     # solves where no LM iteration was accepted despite a large cost0
     lm_stalls: int = 0
+    # per-solve mean whitened IMU chi² (window.imu_chi2_mean) — the
+    # failure detector's scale-consistency statistic, kept in full for
+    # threshold calibration (results/r4/imu_chi2_traces.json)
+    imu_chi2s: list = field(default_factory=list)
 
 
 class VioEstimator:
@@ -142,7 +146,20 @@ class VioEstimator:
                  zupt_acc_thresh: float = 1.0,
                  demote_px: float = 5.0,
                  prob_weight: bool = False,
-                 prob_floor: float = 0.2):
+                 prob_floor: float = 0.2,
+                 imu_chi2_fail: float = 3e4):
+        # visual↔inertial consistency tripwire (EXTENSION beyond the
+        # reference's failureDetection jump thresholds): reboot when the
+        # rolling median of the per-pair whitened IMU-residual chi²
+        # (window.imu_chi2_mean, chi²₁₅-distributed ≈15 when healthy) stays
+        # above this. Catches the slow monocular scale runaway that moves
+        # <5 m per solve and so never trips estimator.cpp:612-658 parity
+        # checks (MH_04 full-length: 7 km ATE, failures=0,
+        # results/r3/grid_full.json). Threshold from measurement — see
+        # results/r4/imu_chi2_traces.json: healthy degraded-regime cells
+        # hold median ≲2e3; the MH_04 runaway crosses 3e4 within a few
+        # seconds of onset and climbs to ≥1e6.
+        self.imu_chi2_fail = imu_chi2_fail
         # prob-weighted projection factors (see WindowMeasurements.feat_w):
         # sqrt-info scaled by sqrt(max(prob, floor))
         self.prob_weight = prob_weight
@@ -209,6 +226,9 @@ class VioEstimator:
         if not hasattr(self, "diag"):
             self.diag = EstimatorDiagnostics()
         self.initialized = False
+        # rolling IMU-consistency statistic (cleared on reboot so the fresh
+        # window starts with a clean history)
+        self._chi2_hist: list = []
         self.pending_relo = None   # (p, q, {feature_id: pt3 in relo frame})
         self.relo_result = None    # (relative_t, relative_q) after the solve
         # keyframe snapshot for the pose-graph consumer (pubKeyframe,
@@ -384,6 +404,10 @@ class VioEstimator:
         new_state, sdiag = lm_solve(state, meas, cfg)
         self.diag.solves += 1
         self.diag.costs.append(float(sdiag["cost"]))  # float() syncs device
+        self._chi2_hist.append(float(sdiag["imu_chi2"]))
+        self.diag.imu_chi2s.append(self._chi2_hist[-1])
+        if len(self._chi2_hist) > 8:
+            self._chi2_hist.pop(0)
         # a solve whose cost never improved means EVERY LM iteration was
         # rejected — either truly converged (tiny cost0) or a silently-dead
         # solver (e.g. a non-finite prior; the round-3 df32 NaN bug showed
@@ -685,6 +709,12 @@ class VioEstimator:
         if np.linalg.norm(dp) > 5.0 or abs(dp[2]) > 1.0:
             return True
         if not np.all(np.isfinite(np.asarray(st.p))):
+            return True
+        # slow-scale-runaway tripwire (see imu_chi2_fail docstring): the
+        # rolling MEDIAN so one bad preintegration pair (outlier IMU
+        # sample, aggressive turn) can't reboot a healthy run
+        if len(self._chi2_hist) == 8 and \
+                float(np.median(self._chi2_hist)) > self.imu_chi2_fail:
             return True
         return False
 

@@ -535,6 +535,31 @@ def _cost_terms(state: WindowState, meas: WindowMeasurements,
     return jnp.concatenate(terms)
 
 
+def imu_chi2_mean(state: WindowState, meas: WindowMeasurements,
+                  cfg: WindowConfig) -> jax.Array:
+    """Mean whitened IMU-residual chi² per valid preintegration pair at
+    `state` — the visual↔inertial consistency statistic.
+
+    Under a correct noise model each pair's ‖r‖² ~ chi²₁₅ (mean 15); a
+    monocular scale runaway leaves the visual factors self-consistent while
+    the IMU factors absorb the scale error, so this statistic climbs orders
+    of magnitude. Used by the estimator's failure detector as the
+    slow-scale-corruption tripwire the reference's jump thresholds
+    (estimator.cpp:612-658) cannot provide (measured: MH_04 full-length
+    reaches km-scale ATE with zero reference-threshold trips,
+    results/r3/grid_full.json)."""
+    def pair_chi2(i):
+        pre_i = jax.tree_util.tree_map(lambda x: x[i], meas.pre)
+        res = factors.imu_residual(
+            state.p[i], state.q[i], state.v[i], state.ba[i], state.bg[i],
+            state.p[i + 1], state.q[i + 1], state.v[i + 1], state.ba[i + 1],
+            state.bg[i + 1], pre_i)
+        return jnp.sum(res * res) * meas.pre_valid[i]
+
+    chi2 = jax.vmap(pair_chi2)(jnp.arange(cfg.window, dtype=jnp.int32))
+    return jnp.sum(chi2) / jnp.maximum(jnp.sum(meas.pre_valid), 1.0)
+
+
 def robust_cost(state: WindowState, meas: WindowMeasurements,
                 cfg: WindowConfig, anchor_ref=None) -> jax.Array:
     """0.5·Σ ρ(‖r‖²) over all factors, accumulated in f64 (identity when
@@ -883,8 +908,10 @@ def lm_solve(state: WindowState, meas: WindowMeasurements, cfg: WindowConfig):
         st, lam, cost = jax.lax.fori_loop(
             0, cfg.iters, body, (state, lam0, cost0))
         return st, {"cost0": df32.to_f32(cost0),
-                    "cost": df32.to_f32(cost), "lambda": lam}
+                    "cost": df32.to_f32(cost), "lambda": lam,
+                    "imu_chi2": imu_chi2_mean(st, meas, cfg)}
     cost0 = robust_cost(state, meas, cfg, anchor_ref)
     st, lam, cost = jax.lax.fori_loop(
         0, cfg.iters, body, (state, lam0, cost0))
-    return st, {"cost0": cost0, "cost": cost, "lambda": lam}
+    return st, {"cost0": cost0, "cost": cost, "lambda": lam,
+                "imu_chi2": imu_chi2_mean(st, meas, cfg)}

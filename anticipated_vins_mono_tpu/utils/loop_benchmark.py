@@ -67,6 +67,7 @@ def run_loop_benchmark(duration: float = 90.0, laps: float | None = None,
                        imu_acc_bias: float = 0.06,
                        imu_gyr_bias: float = 0.004,
                        sim_hi: float | None = None,
+                       max_features: int = 150,
                        out_prefix: str | None = None,
                        kf_stride: int = 2, verbose: bool = False) -> dict:
     """Returns {'ate_vio':…, 'ate_loop':…, 'loops':…} (meters).
@@ -105,7 +106,7 @@ def run_loop_benchmark(duration: float = 90.0, laps: float | None = None,
     def make_sim():
         return SequenceSimulator(
             traj, seed=seed, landmarks=lms, pixel_noise=pixel_noise,
-            max_features=150, depth_range=(0.5, 30.0),
+            max_features=max_features, depth_range=(0.5, 30.0),
             fov_x=(width / 2.0) / fx, fov_y=(height / 2.0) / fx,
             imu_acc_sigma=imu_acc_sigma, imu_gyr_sigma=imu_gyr_sigma,
             imu_acc_bias=imu_acc_bias, imu_gyr_bias=imu_gyr_bias)
@@ -201,7 +202,27 @@ if __name__ == "__main__":
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out-prefix", default=None)
+    # drift-regime knobs (VERDICT r3 item 1): scale the IMU noise/bias walk
+    # so the raw VIO accumulates meters of drift and the loop correction
+    # must carry the run (pose_graph.cpp:561-575 drift application).
+    ap.add_argument("--imu-noise-scale", type=float, default=1.0)
+    ap.add_argument("--pixel-noise", type=float, default=0.5)
+    ap.add_argument("--max-features", type=int, default=150)
+    ap.add_argument("--json-out", default=None)
+    ap.add_argument("--verbose", action="store_true")
     a = ap.parse_args()
-    print(json.dumps(run_loop_benchmark(
+    s = a.imu_noise_scale
+    row = run_loop_benchmark(
         a.duration, a.laps, width=a.width, height=a.height, seed=a.seed,
-        out_prefix=a.out_prefix)))
+        pixel_noise=a.pixel_noise,
+        imu_acc_sigma=0.25 * s, imu_gyr_sigma=0.012 * s,
+        imu_acc_bias=0.06 * s, imu_gyr_bias=0.004 * s,
+        max_features=a.max_features,
+        out_prefix=a.out_prefix, verbose=a.verbose)
+    row["imu_noise_scale"] = s
+    row["pixel_noise"] = a.pixel_noise
+    row["max_features"] = a.max_features
+    print(json.dumps(row))
+    if a.json_out:
+        with open(a.json_out, "w") as f:
+            json.dump(row, f, indent=1)
