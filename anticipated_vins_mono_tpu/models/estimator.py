@@ -123,10 +123,15 @@ class EstimatorDiagnostics:
     solve_s: list = field(default_factory=list)
     # solves where no LM iteration was accepted despite a large cost0
     lm_stalls: int = 0
-    # per-solve mean whitened IMU chi² (window.imu_chi2_mean) — the
-    # failure detector's scale-consistency statistic, kept in full for
-    # threshold calibration (results/r4/imu_chi2_traces.json)
+    # per-solve mean whitened IMU chi² (window.imu_chi2_mean): noise-model
+    # consistency diagnostic. Measured (results/r4/imu_chi2_traces_all.json)
+    # NOT to separate the MH_04 scale runaway — a rigid drift of the whole
+    # window is residual-free — which is why the failure tripwire uses
+    # `speeds` instead (see max_speed_fail).
     imu_chi2s: list = field(default_factory=list)
+    # per-solve ‖v‖ of the newest frame — the failure detector's
+    # slow-runaway statistic (see VioEstimator.max_speed_fail)
+    speeds: list = field(default_factory=list)
 
 
 class VioEstimator:
@@ -147,19 +152,23 @@ class VioEstimator:
                  demote_px: float = 5.0,
                  prob_weight: bool = False,
                  prob_floor: float = 0.2,
-                 imu_chi2_fail: float = 3e4):
-        # visual↔inertial consistency tripwire (EXTENSION beyond the
-        # reference's failureDetection jump thresholds): reboot when the
-        # rolling median of the per-pair whitened IMU-residual chi²
-        # (window.imu_chi2_mean, chi²₁₅-distributed ≈15 when healthy) stays
-        # above this. Catches the slow monocular scale runaway that moves
-        # <5 m per solve and so never trips estimator.cpp:612-658 parity
-        # checks (MH_04 full-length: 7 km ATE, failures=0,
-        # results/r3/grid_full.json). Threshold from measurement — see
-        # results/r4/imu_chi2_traces.json: healthy degraded-regime cells
-        # hold median ≲2e3; the MH_04 runaway crosses 3e4 within a few
-        # seconds of onset and climbs to ≥1e6.
-        self.imu_chi2_fail = imu_chi2_fail
+                 max_speed_fail: float = 10.0):
+        # slow-runaway tripwire (EXTENSION beyond the reference's
+        # failureDetection jump thresholds, estimator.cpp:612-658): reboot
+        # when the rolling median-of-8 of the newest frame's speed ‖v‖
+        # exceeds this [m/s]. Rationale from measurement: the MH_04
+        # full-length scale runaway reaches km-scale ATE with failures=0
+        # (results/r3/grid_full.json) because each solve moves the newest
+        # pose <5 m (the jump check's blind spot) and the in-window IMU
+        # residuals stay healthy (a rigid drift of the whole window is
+        # residual-free — measured: imu_chi2 ≤ 10 throughout the blow-up,
+        # results/r4/imu_chi2_traces_all.json). But position drift of that
+        # magnitude REQUIRES a velocity state far beyond the platform:
+        # rte_median 254 m means sustained ≳100 m/s estimated speed vs
+        # EuRoC's true ≤2.5 m/s (calibration trace:
+        # results/r4/speed_traces.json). Default 10 m/s = 4× the fastest
+        # true EuRoC motion; set to the platform's physical envelope.
+        self.max_speed_fail = max_speed_fail
         # prob-weighted projection factors (see WindowMeasurements.feat_w):
         # sqrt-info scaled by sqrt(max(prob, floor))
         self.prob_weight = prob_weight
@@ -226,9 +235,9 @@ class VioEstimator:
         if not hasattr(self, "diag"):
             self.diag = EstimatorDiagnostics()
         self.initialized = False
-        # rolling IMU-consistency statistic (cleared on reboot so the fresh
-        # window starts with a clean history)
-        self._chi2_hist: list = []
+        # rolling speed statistic (cleared on reboot so the fresh window
+        # starts with a clean history)
+        self._speed_hist: list = []
         self.pending_relo = None   # (p, q, {feature_id: pt3 in relo frame})
         self.relo_result = None    # (relative_t, relative_q) after the solve
         # keyframe snapshot for the pose-graph consumer (pubKeyframe,
@@ -404,10 +413,12 @@ class VioEstimator:
         new_state, sdiag = lm_solve(state, meas, cfg)
         self.diag.solves += 1
         self.diag.costs.append(float(sdiag["cost"]))  # float() syncs device
-        self._chi2_hist.append(float(sdiag["imu_chi2"]))
-        self.diag.imu_chi2s.append(self._chi2_hist[-1])
-        if len(self._chi2_hist) > 8:
-            self._chi2_hist.pop(0)
+        self.diag.imu_chi2s.append(float(sdiag["imu_chi2"]))
+        speed = float(np.linalg.norm(np.asarray(new_state.v[cfg.nf - 1])))
+        self.diag.speeds.append(speed)
+        self._speed_hist.append(speed)
+        if len(self._speed_hist) > 8:
+            self._speed_hist.pop(0)
         # a solve whose cost never improved means EVERY LM iteration was
         # rejected — either truly converged (tiny cost0) or a silently-dead
         # solver (e.g. a non-finite prior; the round-3 df32 NaN bug showed
@@ -710,11 +721,11 @@ class VioEstimator:
             return True
         if not np.all(np.isfinite(np.asarray(st.p))):
             return True
-        # slow-scale-runaway tripwire (see imu_chi2_fail docstring): the
-        # rolling MEDIAN so one bad preintegration pair (outlier IMU
-        # sample, aggressive turn) can't reboot a healthy run
-        if len(self._chi2_hist) == 8 and \
-                float(np.median(self._chi2_hist)) > self.imu_chi2_fail:
+        # slow-runaway tripwire (see max_speed_fail docstring): the rolling
+        # MEDIAN of ‖v[newest]‖ so one aggressive-turn transient can't
+        # reboot a healthy run
+        if len(self._speed_hist) == 8 and \
+                float(np.median(self._speed_hist)) > self.max_speed_fail:
             return True
         return False
 

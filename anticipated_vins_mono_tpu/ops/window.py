@@ -538,16 +538,16 @@ def _cost_terms(state: WindowState, meas: WindowMeasurements,
 def imu_chi2_mean(state: WindowState, meas: WindowMeasurements,
                   cfg: WindowConfig) -> jax.Array:
     """Mean whitened IMU-residual chi² per valid preintegration pair at
-    `state` — the visual↔inertial consistency statistic.
+    `state` — a noise-model consistency diagnostic.
 
-    Under a correct noise model each pair's ‖r‖² ~ chi²₁₅ (mean 15); a
-    monocular scale runaway leaves the visual factors self-consistent while
-    the IMU factors absorb the scale error, so this statistic climbs orders
-    of magnitude. Used by the estimator's failure detector as the
-    slow-scale-corruption tripwire the reference's jump thresholds
-    (estimator.cpp:612-658) cannot provide (measured: MH_04 full-length
-    reaches km-scale ATE with zero reference-threshold trips,
-    results/r3/grid_full.json)."""
+    Under a correct noise model each pair's ‖r‖² ~ chi²₁₅ (mean 15).
+    Recorded per solve in EstimatorDiagnostics.imu_chi2s. NOTE: measured
+    NOT to detect the MH_04 slow scale runaway (it stays ≤ 10 throughout a
+    km-scale blow-up, results/r4/imu_chi2_traces_all.json) — a rigid drift
+    of the whole window is residual-free, so the inconsistency is absorbed
+    by the marginalization prior, not the in-window factors. The failure
+    tripwire therefore uses the velocity-state magnitude instead
+    (estimator.max_speed_fail)."""
     def pair_chi2(i):
         pre_i = jax.tree_util.tree_map(lambda x: x[i], meas.pre)
         res = factors.imu_residual(

@@ -1,8 +1,13 @@
-"""Calibrate the IMU-consistency failure threshold (VERDICT r3 item 5).
+"""Calibrate the slow-runaway failure statistic (VERDICT r3 item 5).
 
 Runs the MH_04 full-length blow-up cell (grid_full.json seed 0, 7113 m with
 failures=0) and healthy control cells with the tripwire disabled, dumping
-the per-solve imu_chi2 trace → results/r4/imu_chi2_traces.json.
+per-solve traces of BOTH candidate statistics:
+  - imu_chi2 (window.imu_chi2_mean): measured NOT to separate — the blow-up
+    holds chi2 <= 10 because a rigid drift of the window is residual-free
+    (results/r4/imu_chi2_traces_all.json, first calibration run);
+  - speed = ||v[newest]||: the adopted statistic (estimator.max_speed_fail)
+    -> results/r4/speed_traces_{which}.json.
 """
 import json
 import sys
@@ -13,15 +18,27 @@ force_cpu_f64()
 from anticipated_vins_mono_tpu.utils import benchmark as bm
 
 
+def _stats(row, name, vals):
+    import numpy as np
+    row[f"{name}_median"] = float(np.median(vals)) if len(vals) else None
+    row[f"{name}_p90"] = (float(np.percentile(vals, 90))
+                          if len(vals) else None)
+    row[f"{name}_max"] = float(np.max(vals)) if len(vals) else None
+    # rolling median-of-8 trace (the detector's actual statistic)
+    rm = [float(np.median(vals[max(0, i - 7):i + 1]))
+          for i in range(len(vals))]
+    row[f"{name}_rolling_median_max"] = float(np.max(rm)) if rm else None
+    row[f"{name}_trace_decimated"] = [round(v, 2) for v in rm[::5]]
+
+
 def run_cell(sequence, seed, disable=True, **kw):
     import anticipated_vins_mono_tpu.models.estimator as est_mod
-    import numpy as np
     traces = {}
     orig_init = est_mod.VioEstimator.__init__
 
     def patched(self, *a, **k):
         if disable:
-            k["imu_chi2_fail"] = float("inf")
+            k["max_speed_fail"] = float("inf")
         orig_init(self, *a, **k)
         traces["est"] = self
     est_mod.VioEstimator.__init__ = patched
@@ -34,15 +51,8 @@ def run_cell(sequence, seed, disable=True, **kw):
     finally:
         est_mod.VioEstimator.__init__ = orig_init
     est = traces["est"]
-    chi2 = est.diag.imu_chi2s
-    row["imu_chi2_median"] = float(np.median(chi2)) if chi2 else None
-    row["imu_chi2_p90"] = float(np.percentile(chi2, 90)) if chi2 else None
-    row["imu_chi2_max"] = float(np.max(chi2)) if chi2 else None
-    # rolling median-of-8 trace (the detector's actual statistic)
-    rm = [float(np.median(chi2[max(0, i - 7):i + 1]))
-          for i in range(len(chi2))]
-    row["rolling_median_max"] = float(np.max(rm)) if rm else None
-    row["trace_decimated"] = [round(v, 1) for v in rm[::5]]
+    _stats(row, "imu_chi2", est.diag.imu_chi2s)
+    _stats(row, "speed", est.diag.speeds)
     return row
 
 
@@ -62,5 +72,5 @@ if __name__ == "__main__":
         row["cell"] = name
         print(json.dumps(row), flush=True)
         out.append(row)
-    with open(f"results/r4/imu_chi2_traces_{which}.json", "w") as f:
+    with open(f"results/r4/speed_traces_{which}.json", "w") as f:
         json.dump(out, f, indent=1)

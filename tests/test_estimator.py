@@ -129,3 +129,25 @@ def test_zupt_bounds_low_feature_hover():
     assert ates[True] < 0.5, ates
     # and it must actually be the ZUPT doing the work, or at worst harmless
     assert ates[True] <= ates[False] * 1.5 + 0.05, ates
+
+
+def test_speed_tripwire_reboots_runaway():
+    """The slow-runaway tripwire (max_speed_fail): a healthy synthetic run
+    never trips at the 10 m/s default (true speeds ~1 m/s), and the same
+    run with a 0.5 m/s threshold reboots — exercising the reset path the
+    MH_04 km-scale blow-up needs (results/r3/grid_full.json, failures=0)."""
+    traj = analytic_trajectory(6.0)
+    sim = SequenceSimulator(traj, seed=0, pixel_noise=0.5, max_features=60)
+    est = VioEstimator(CFG, init_state={
+        "p": traj.p[0], "q": traj.q[0], "v": traj.v[0]})
+    res = run_sequence(est, sim)
+    assert res.diag.failures == 0
+    assert len(res.diag.speeds) == res.diag.solves
+    assert 0.0 < np.median(res.diag.speeds) < 10.0
+
+    sim2 = SequenceSimulator(traj, seed=0, pixel_noise=0.5, max_features=60)
+    est2 = VioEstimator(CFG, init_state={
+        "p": traj.p[0], "q": traj.q[0], "v": traj.v[0]},
+        max_speed_fail=0.5)
+    res2 = run_sequence(est2, sim2)
+    assert res2.diag.failures >= 1
