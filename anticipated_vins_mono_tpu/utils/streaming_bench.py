@@ -1,0 +1,217 @@
+"""End-to-end on-chip streaming latency: tracker → selector → solver per
+frame (VERDICT r3 item 7).
+
+The reference's real-time budget is 57 ms/frame on a desktop CPU: tracker
+18 ms (thread 1) + selector 9 ms + windowed optimization 30 ms (thread 2)
+(support_files/report/paper/results.tex:74-83). This bench runs the same
+three stages per frame ON the TPU over a real rendered frame stream and
+reports:
+
+- `fused_device_ms_per_frame`: the WHOLE per-frame pipeline as ONE jitted
+  program under `lax.scan` — zero per-frame dispatches, pure device time.
+  Data flow is genuine, not three timed islands: the device tracker's
+  output rays/probs are the selector's candidates, and the tracker probs
+  weight the solver's projection rows (`WindowMeasurements.feat_w`, the
+  prob-weighting channel), so XLA cannot dead-code any stage.
+- `fused_single_dispatch_ms`: the same fused step as one jit call per
+  frame with a full output sync (what a robot with a LOCAL accelerator
+  pays); `null_rtt_ms` isolates this environment's WAN-tunnel dispatch
+  floor from compute.
+- `staged_dispatch_ms`: the 3-dispatch variant (tracker, selector, solver
+  as separate jit calls per frame) — the latency of the un-fused
+  architecture, dominated by 3× tunnel RTT here.
+
+Scope note (what is wired vs synthetic): the tracker runs on real rendered
+752×480 frames; the selector consumes the tracker's actual candidates with
+an IMU-propagated horizon from the window's newest state; the solver runs
+the FLAGSHIP window shape (10 kf, 128 landmarks, 8 LM iterations,
+`make_window_problem`) with tracker-prob-scaled feature weights. The
+window's factor graph itself is the synthetic flagship problem — the
+device-resident window *assembly* (slot bookkeeping across frames) stays
+host-side in `models/estimator` (see node.py); its cost is not part of the
+reference's 57 ms budget either (their measurement covers exactly these
+three stages).
+
+    python -m anticipated_vins_mono_tpu.utils.streaming_bench \
+        --frames 100 --out results/r4/streaming_tpu.json
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+
+def main(n_frames: int = 100, width: int = 752, height: int = 480,
+         n_feats: int = 150, out: str | None = None):
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from anticipated_vins_mono_tpu.models import anticipation as ant
+    from anticipated_vins_mono_tpu.models import tracker_device as td
+    from anticipated_vins_mono_tpu.models.feature_selector import \
+        _device_select
+    from anticipated_vins_mono_tpu.ops import cameras, lie
+    from anticipated_vins_mono_tpu.ops.window import WindowConfig, lm_solve
+    from anticipated_vins_mono_tpu.utils import render
+    from anticipated_vins_mono_tpu.utils.synthetic import (
+        loop_trajectory, make_window_problem)
+
+    backend = jax.default_backend()
+    fx = 0.6 * width
+    cam = cameras.PinholeCamera.create(fx, fx, width / 2.0, height / 2.0,
+                                       width=width, height=height)
+    traj = loop_trajectory(20.0, laps=2.0, radius=3.0)
+    world = render.make_box_world(traj.p, margin=5.0, seed=0)
+    rays = render.camera_rays(cam)
+    R_all = np.asarray(lie.quat_to_rot(jnp.asarray(traj.q)))
+    ks = np.linspace(0, len(traj.t) - 1, n_frames + 1).astype(int)
+    imgs = np.stack([render.render_frame(world, cam, rays,
+                                         traj.p[k], R_all[k]) for k in ks])
+    imgs = jnp.asarray(imgs, jnp.float32)
+    ts = jnp.asarray(ks / 200.0, jnp.float32)
+
+    tparams = td.TrackerDeviceParams(max_features=n_feats)
+    wcfg = WindowConfig(window=10, max_feats=128, iters=8)
+    prob = make_window_problem(wcfg, seed=0, perturb=0.3, pixel_noise=0.5,
+                               dtype=jnp.float32)
+    scfg = ant.SelectorConfig()            # κ̄=30, H=13 (state_defs.h:8)
+    KAPPA = 30
+    F = 128                                # selector candidate slots
+    f32 = jnp.float32
+    zeros = lambda *s: jnp.zeros(s, f32)
+    tic = zeros(3)
+    qic = jnp.array([1.0, 0, 0, 0], f32)
+    acc_s = jnp.array([0.2, 0.1, 9.9], f32)   # latest IMU sample
+    gyr_s = jnp.array([0.02, -0.01, 0.05], f32)
+    nf1 = wcfg.nf - 1
+    st_p = prob.init.p[nf1].astype(f32)
+    st_q = prob.init.q[nf1].astype(f32)
+    st_v = prob.init.v[nf1].astype(f32)
+    st_ba = prob.init.ba[nf1].astype(f32)
+    st_bg = prob.init.bg[nf1].astype(f32)
+
+    def selector_stage(rays_c, probs_c, active_c):
+        return _device_select(
+            scfg, KAPPA, 20, 0.005,
+            st_p, st_q, st_v, acc_s, gyr_s, st_ba, st_bg, tic, qic,
+            rays_c[:F], probs_c[:F], active_c[:F].astype(f32),
+            zeros(F, 3), jnp.full((F,), 5.0, f32), zeros(F),
+            zeros(F, 2), jnp.full((F,), 5.0, f32), zeros(F))
+
+    def solver_stage(sel, probs_c):
+        # prob-weighted projection rows (feat_w channel): tracker prob →
+        # sqrt-info scale; selected candidates get full weight
+        w = 0.5 + 0.5 * probs_c[:wcfg.max_feats] \
+            + 0.5 * sel[:wcfg.max_feats]
+        meas = prob.meas._replace(feat_w=w.astype(prob.meas.pts.dtype))
+        st, sdiag = lm_solve(prob.init, meas, wcfg)
+        return st, sdiag
+
+    def fused_step(tstate, img, t):
+        st2, (ids, rays_c, vel, probs_c, active) = td.tracker_step(
+            cam, tparams, tstate, img, t)
+        sel, OmF, ps, qs = selector_stage(rays_c, probs_c, active)
+        st, sdiag = solver_stage(sel, probs_c)
+        return st2, (sdiag["cost"], jnp.sum(sel), st.p[nf1])
+
+    fused_jit = jax.jit(fused_step)
+
+    @jax.jit
+    def fused_scan(tstate, imgs_, ts_):
+        def body(s, xt):
+            img, t = xt
+            s2, outs = fused_step(s, img, t)
+            return s2, outs
+        return jax.lax.scan(body, tstate, (imgs_, ts_))
+
+    # ---- null RTT floor
+    @jax.jit
+    def null(x):
+        return x + 1.0
+    float(null(jnp.float32(0.0)))
+    t0 = time.perf_counter()
+    for _ in range(20):
+        float(null(jnp.float32(0.0)))
+    null_rtt_ms = (time.perf_counter() - t0) / 20 * 1e3
+
+    st0 = td.tracker_init(cam, tparams, imgs[0], ts[0])
+    jax.block_until_ready(st0)
+
+    # ---- fused scan: pure device per-frame time
+    stN, outs = fused_scan(st0, imgs[1:], ts[1:])
+    jax.block_until_ready(outs)
+    t0 = time.perf_counter()
+    stN, outs = fused_scan(st0, imgs[1:], ts[1:])
+    jax.block_until_ready(outs)
+    fused_device_ms = (time.perf_counter() - t0) / n_frames * 1e3
+    costs = np.asarray(outs[0])
+    n_sel = np.asarray(outs[1])
+    assert np.all(np.isfinite(costs)), "solver diverged in stream"
+
+    # ---- fused single dispatch per frame (sync every frame)
+    s = st0
+    s, o = fused_jit(s, imgs[1], ts[1])
+    jax.block_until_ready(o)
+    t0 = time.perf_counter()
+    reps = min(20, n_frames - 1)
+    for k in range(2, 2 + reps):
+        s, o = fused_jit(s, imgs[k], ts[k])
+        jax.block_until_ready(o)
+    fused_dispatch_ms = (time.perf_counter() - t0) / reps * 1e3
+
+    # ---- staged: 3 dispatches per frame
+    track_jit = jax.jit(lambda s_, im, t: td.tracker_step(
+        cam, tparams, s_, im, t))
+    sel_jit = jax.jit(selector_stage)
+    sol_jit = jax.jit(solver_stage)
+    s = st0
+    s, meas = track_jit(s, imgs[1], ts[1])
+    selr = sel_jit(meas[1], meas[3], meas[4])
+    solr = sol_jit(selr[0], meas[3])
+    jax.block_until_ready((meas, selr, solr))
+    t0 = time.perf_counter()
+    for k in range(2, 2 + reps):
+        s, meas = track_jit(s, imgs[k], ts[k])
+        selr = sel_jit(meas[1], meas[3], meas[4])
+        solr = sol_jit(selr[0], meas[3])
+        jax.block_until_ready((s.pts, selr[0], solr[1]["cost"]))
+    staged_dispatch_ms = (time.perf_counter() - t0) / reps * 1e3
+
+    rows = {
+        "backend": backend,
+        "n_frames": n_frames,
+        "resolution": [height, width],
+        "n_features": n_feats,
+        "kappa": KAPPA,
+        "window": [wcfg.window, wcfg.max_feats, wcfg.iters],
+        "fused_device_ms_per_frame": fused_device_ms,
+        "fused_single_dispatch_ms": fused_dispatch_ms,
+        "staged_dispatch_ms": staged_dispatch_ms,
+        "null_rtt_ms": null_rtt_ms,
+        "selected_per_frame_mean": float(n_sel.mean()),
+        "cost_final_mean": float(costs.mean()),
+        "reference_ms_per_frame": 57.0,
+        "reference_breakdown": {"tracker": 18.0, "selector": 9.0,
+                                "solver": 30.0},
+        "vs_reference": 57.0 / fused_device_ms,
+    }
+    print(json.dumps(rows, indent=1))
+    if out:
+        with open(out, "w") as f:
+            json.dump(rows, f, indent=1)
+    return rows
+
+
+if __name__ == "__main__":
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=100)
+    ap.add_argument("--width", type=int, default=752)
+    ap.add_argument("--height", type=int, default=480)
+    ap.add_argument("--out", default=None)
+    a = ap.parse_args()
+    main(a.frames, a.width, a.height, out=a.out)
