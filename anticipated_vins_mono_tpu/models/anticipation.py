@@ -325,36 +325,87 @@ def logdet_upper_bounds(Omega: jax.Array, Deltas: jax.Array,
     return jnp.sum(jnp.log(jnp.maximum(diag, 1e-12)), axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("kappa",))
+@functools.partial(jax.jit, static_argnames=("kappa", "impl"))
 def select_informative(Omega: jax.Array, Deltas: jax.Array,
-                       probs: jax.Array, valid: jax.Array, kappa: int):
+                       probs: jax.Array, valid: jax.Array, kappa: int,
+                       impl: str = None):
     """Exact greedy logdet maximization, all candidates scored per round.
 
     Mirrors selectInformativeFeatures (feature_selector.cpp:613-686) with the
-    TPU-first twist: instead of the serial lazy-UB walk, every round computes
-    logdet(Ω_acc + p_ℓ Δ_ℓ) for ALL candidates as one batched Cholesky —
-    identical output (exact greedy ⊇ lazy greedy), massively parallel.
+    TPU-first twist: instead of the serial lazy-UB walk, every round scores
+    ALL candidates in parallel — identical output (exact greedy ⊇ lazy
+    greedy).
 
-    Returns (selected mask [F], gains [κ]).
+    Two scoring implementations of the SAME greedy (fp-level identical
+    gains, parity-tested in tests/test_feature_selector.py):
+    - "chol": logdet(Ω_acc + p_ℓ Δ_ℓ) per candidate as one batched
+      [F,D,D] Cholesky per round — F·κ full factorizations total.
+    - "lowrank": matrix-determinant-lemma scoring. Δ_ℓ = E_ᵀ·Big·E is
+      PSD with support on the 3H position coordinates (see delta_ell), so
+      Δ_ℓ = B_ℓ B_ℓᵀ with B_ℓ [D,r], r = 3H ≪ D (factored ONCE per call
+      by a batched eigh on the [3H,3H] restriction). Each round then costs
+      ONE D×D Cholesky of Ω_acc + ONE wide triangular solve
+      L⁻¹[B_1…B_F] (an MXU-shaped TRSM) + F tiny [r,r] logdets:
+      gain_ℓ = logdet(I_r + p_ℓ WᵀW), argmax-equivalent since
+      logdet(Ω_acc) is constant within a round. Replaces the κ·F large
+      factorizations that made the on-chip selector the streaming
+      pipeline's bottleneck (results/r4/streaming_tpu.json).
+    impl=None picks by backend at trace time.
+
+    Returns (selected mask [F], Ω after the selected updates).
     """
+    if impl is None:
+        impl = "chol" if jax.default_backend() == "cpu" else "lowrank"
     F = Deltas.shape[0]
+    D = Omega.shape[0]
     dtype = Omega.dtype
 
     from anticipated_vins_mono_tpu.ops import pallas_kernels
 
-    def round_body(_, carry):
-        Om, sel = carry
-        cand = Om[None] + probs[:, None, None] * Deltas
-        # batch-tiled Pallas elimination kernel on TPU (1.3x XLA's batched
-        # Cholesky for the 126x126 Omega batches), XLA path elsewhere
-        ld = pallas_kernels.logdet_psd(cand)
-        ld = jnp.where((valid > 0) & (sel < 0.5), ld, -jnp.inf)
-        ld = jnp.where(jnp.isnan(ld), -jnp.inf, ld)
-        best = jnp.argmax(ld)
-        ok = jnp.isfinite(ld[best])
-        sel = sel.at[best].add(ok.astype(dtype))
-        Om = Om + ok.astype(dtype) * probs[best] * Deltas[best]
-        return Om, jnp.minimum(sel, 1.0)
+    if impl == "lowrank":
+        # position-space restriction: Big = E Δ Eᵀ (E Eᵀ = I on the 3H
+        # position rows). Recover the embedding from the static layout.
+        H = (D // STATE_SIZE) - 1
+        E = _pos_embedding(H, STATE_SIZE, D, dtype)       # [3H, D]
+        Big = jnp.einsum("ad,fde,be->fab", E, Deltas, E)  # [F,3H,3H]
+        lam, V = jnp.linalg.eigh(Big)
+        lam = jnp.maximum(lam, 0.0)
+        Bs = jnp.einsum("fab,fb->fab", V, jnp.sqrt(lam))  # [F,3H,3H]
+        Bfull = jnp.einsum("ad,fab->fdb", E, Bs)          # [F,D,r] r=3H
+        r = Bfull.shape[-1]
+
+        def round_body(_, carry):
+            Om, sel = carry
+            L = jnp.linalg.cholesky(Om)
+            wide = Bfull.transpose(1, 0, 2).reshape(D, F * r)
+            W = jax.scipy.linalg.solve_triangular(L, wide, lower=True)
+            W = W.reshape(D, F, r).transpose(1, 0, 2)     # [F,D,r]
+            G = jnp.eye(r, dtype=dtype)[None] \
+                + probs[:, None, None] * jnp.einsum("fda,fdb->fab", W, W)
+            # [r,r] with r=3H=39 ≪ the Pallas kernel's 128 padding tile —
+            # XLA's batched Cholesky is the right tool at this size
+            gain = lie.logdet_psd(G)
+            gain = jnp.where((valid > 0) & (sel < 0.5), gain, -jnp.inf)
+            gain = jnp.where(jnp.isnan(gain), -jnp.inf, gain)
+            best = jnp.argmax(gain)
+            ok = jnp.isfinite(gain[best])
+            sel = sel.at[best].add(ok.astype(dtype))
+            Om = Om + ok.astype(dtype) * probs[best] * Deltas[best]
+            return Om, jnp.minimum(sel, 1.0)
+    else:
+        def round_body(_, carry):
+            Om, sel = carry
+            cand = Om[None] + probs[:, None, None] * Deltas
+            # batch-tiled Pallas elimination kernel on TPU (1.3x XLA's
+            # batched Cholesky for the 126x126 Omega batches), XLA elsewhere
+            ld = pallas_kernels.logdet_psd(cand)
+            ld = jnp.where((valid > 0) & (sel < 0.5), ld, -jnp.inf)
+            ld = jnp.where(jnp.isnan(ld), -jnp.inf, ld)
+            best = jnp.argmax(ld)
+            ok = jnp.isfinite(ld[best])
+            sel = sel.at[best].add(ok.astype(dtype))
+            Om = Om + ok.astype(dtype) * probs[best] * Deltas[best]
+            return Om, jnp.minimum(sel, 1.0)
 
     Om0 = Omega
     sel0 = jnp.zeros(F, dtype)

@@ -226,3 +226,30 @@ def test_survival_weighting():
     Deltas = jnp.stack([D_lo, D_hi])
     sel, _ = ant.select_informative(Om, Deltas, jnp.ones(2), jnp.ones(2), 1)
     assert float(sel[1]) == 1.0 and float(sel[0]) == 0.0
+
+
+def test_greedy_lowrank_matches_chol():
+    """The determinant-lemma greedy ("lowrank" impl) must pick the same
+    features with the same Ω as the batched-Cholesky greedy, given Δs with
+    the true position-support structure delta_ell produces."""
+    rng = np.random.default_rng(3)
+    H, S, D = CFG.horizon, ant.STATE_SIZE, CFG.dim
+    E = np.asarray(ant._pos_embedding(H, S, D, jnp.float64))
+    F = 24
+    Deltas = []
+    for _ in range(F):
+        B = rng.normal(size=(5, 3 * H)) * 0.8
+        Deltas.append(E.T @ (B.T @ B) @ E)
+    Deltas = jnp.asarray(np.stack(Deltas))
+    A = rng.normal(size=(D + 3, D)) * 0.3
+    Omega = jnp.asarray(A.T @ A + np.eye(D))
+    probs = jnp.asarray(rng.uniform(0.4, 1.0, F))
+    valid = jnp.ones(F)
+    kappa = 6
+    sel_c, Om_c = ant.select_informative(Omega, Deltas, probs, valid,
+                                         kappa, impl="chol")
+    sel_l, Om_l = ant.select_informative(Omega, Deltas, probs, valid,
+                                         kappa, impl="lowrank")
+    np.testing.assert_array_equal(np.asarray(sel_c), np.asarray(sel_l))
+    np.testing.assert_allclose(np.asarray(Om_c), np.asarray(Om_l),
+                               rtol=1e-9, atol=1e-9)
