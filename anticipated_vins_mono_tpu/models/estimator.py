@@ -288,7 +288,7 @@ class VioEstimator:
                 R0 = _host_op(lie.gravity_to_rot, fm.acc0)
                 self.q[0] = _host_op(lie.rot_to_quat, R0.T)
             self.db.add_frame(0, fm.feats)
-            self.td_at_frame[0] = self.td
+            self.td_at_frame[0] = 0.0
             self.frame_times.append(fm.t)
             self.n_frames = 1
             self._record_output(fm.t, 0)
@@ -339,7 +339,19 @@ class VioEstimator:
                                          initialized=self.initialized)
             self.diag.sel_s.append(_time.perf_counter() - _t0)
         keyframe = self.db.add_frame(k, feats)
-        self.td_at_frame[k] = self.td
+        # td stored per observation frame (cur_td parity,
+        # feature_manager.h FeaturePerFrame): the reference stores the
+        # CURRENT estimate because its node RE-STAMPS frames by td
+        # (estimator_node getMeasurements aligns IMU to t_img + td), so the
+        # factor only corrects the DELTA (td - td_i). This pipeline never
+        # re-stamps — measurements keep their raw timestamps — so the
+        # correct stored value is 0 (full absolute correction td·vel).
+        # Storing the running estimate here under-corrects and RATCHETS td
+        # upward without bound (measured: MH_05 full-length clean-velocity
+        # converges to 2x the injected offset, results/r4/
+        # td_recovery_full.json; the fix restores ~1x,
+        # results/r4/td_recovery_fix.json).
+        self.td_at_frame[k] = 0.0
         self.frame_times.append(fm.t)
         self.n_frames += 1
 

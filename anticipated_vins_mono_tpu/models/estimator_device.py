@@ -418,7 +418,9 @@ def vio_step(pr: DeviceVioParams, st: DeviceVioState,
         stationary=st.stationary.at[k].set(
             _zupt_flag(pr, imu_dts, imu_acc, imu_gyr, st.bg[k - 1])
             if pr.zupt else 0.0),
-        td_at_frame=st.td_at_frame.at[k].set(st.td))
+        # 0, not st.td: no stream re-stamping here -> absolute td
+        # correction (see estimator.process_frame's cur_td note)
+        td_at_frame=st.td_at_frame.at[k].set(0.0))
 
     # -- feature DB insert + keyframe decision
     st, keyframe, tracked = _db_add_frame(
