@@ -328,7 +328,7 @@ def logdet_upper_bounds(Omega: jax.Array, Deltas: jax.Array,
 @functools.partial(jax.jit, static_argnames=("kappa", "impl"))
 def select_informative(Omega: jax.Array, Deltas: jax.Array,
                        probs: jax.Array, valid: jax.Array, kappa: int,
-                       impl: str = None):
+                       impl: str = None, budget=None):
     """Exact greedy logdet maximization, all candidates scored per round.
 
     Mirrors selectInformativeFeatures (feature_selector.cpp:613-686) with the
@@ -352,10 +352,17 @@ def select_informative(Omega: jax.Array, Deltas: jax.Array,
       pipeline's bottleneck (results/r4/streaming_tpu.json).
     impl=None picks by backend at trace time.
 
+    `budget` (optional, TRACED scalar ≤ kappa) caps how many of the
+    `kappa` static rounds actually select — the dynamic κ̄−tracked budget
+    of the reference (feature_selector.cpp:151-166) without a recompile
+    per distinct budget.
+
     Returns (selected mask [F], Ω after the selected updates).
     """
     if impl is None:
         impl = "chol" if jax.default_backend() == "cpu" else "lowrank"
+    if budget is None:
+        budget = kappa
     F = Deltas.shape[0]
     D = Omega.shape[0]
     dtype = Omega.dtype
@@ -374,7 +381,7 @@ def select_informative(Omega: jax.Array, Deltas: jax.Array,
         Bfull = jnp.einsum("ad,fab->fdb", E, Bs)          # [F,D,r] r=3H
         r = Bfull.shape[-1]
 
-        def round_body(_, carry):
+        def round_body(_i, carry):
             Om, sel = carry
             L = jnp.linalg.cholesky(Om)
             wide = Bfull.transpose(1, 0, 2).reshape(D, F * r)
@@ -388,12 +395,12 @@ def select_informative(Omega: jax.Array, Deltas: jax.Array,
             gain = jnp.where((valid > 0) & (sel < 0.5), gain, -jnp.inf)
             gain = jnp.where(jnp.isnan(gain), -jnp.inf, gain)
             best = jnp.argmax(gain)
-            ok = jnp.isfinite(gain[best])
+            ok = jnp.isfinite(gain[best]) & (_i < budget)
             sel = sel.at[best].add(ok.astype(dtype))
             Om = Om + ok.astype(dtype) * probs[best] * Deltas[best]
             return Om, jnp.minimum(sel, 1.0)
     else:
-        def round_body(_, carry):
+        def round_body(_i, carry):
             Om, sel = carry
             cand = Om[None] + probs[:, None, None] * Deltas
             # batch-tiled Pallas elimination kernel on TPU (1.3x XLA's
@@ -402,7 +409,7 @@ def select_informative(Omega: jax.Array, Deltas: jax.Array,
             ld = jnp.where((valid > 0) & (sel < 0.5), ld, -jnp.inf)
             ld = jnp.where(jnp.isnan(ld), -jnp.inf, ld)
             best = jnp.argmax(ld)
-            ok = jnp.isfinite(ld[best])
+            ok = jnp.isfinite(ld[best]) & (_i < budget)
             sel = sel.at[best].add(ok.astype(dtype))
             Om = Om + ok.astype(dtype) * probs[best] * Deltas[best]
             return Om, jnp.minimum(sel, 1.0)

@@ -37,6 +37,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from anticipated_vins_mono_tpu.models import anticipation as ant
 from anticipated_vins_mono_tpu.ops import lie
 from anticipated_vins_mono_tpu.ops import marginalization as mg
 from anticipated_vins_mono_tpu.ops.preintegration import ImuNoise, preintegrate
@@ -52,6 +53,16 @@ class DeviceVioParams(NamedTuple):
     """Static (hashable) configuration of the device VIO step."""
     wcfg: WindowConfig = WindowConfig()
     noise: ImuNoise = ImuNoise()
+    # anticipation/attention selection ON DEVICE (the fork's core,
+    # f_selector->select() placement, estimator_node.cpp:340): None = no
+    # budget (all tracker features enter the DB). With a SelectorConfig,
+    # each step runs the full horizon->Omega->Delta->greedy pipeline
+    # (feature_selector._device_select) on the tracker's candidates with
+    # the dynamic kappa_bar - tracked budget, and only tracked+selected
+    # features are inserted.
+    sel_cfg: "ant.SelectorConfig" = None
+    sel_n_imu: int = 20             # horizon IMU substeps (frame_dt*rate)
+    sel_dt_imu: float = 0.005
     min_parallax: float = MIN_PARALLAX
     demote_px: float = 5.0          # estimator.demote_px
     demote_focal: float = 460.0
@@ -95,6 +106,10 @@ class DeviceVioState(NamedTuple):
     prior: PriorFactor
     speed_hist: jax.Array  # [8] rolling ‖v[newest]‖ (tripwire)
     n_solves: jax.Array    # [] i32
+    # id watermark (trackedFeatures_ semantics, feature_selector.cpp:
+    # 103-110): ids ≤ watermark that are not in the DB were rejected by a
+    # past selection round and stay dropped
+    last_id: jax.Array     # [] i32
 
 
 def vio_init_from_host(est) -> DeviceVioState:
@@ -130,7 +145,11 @@ def vio_init_from_host(est) -> DeviceVioState:
         stationary=j(est.stationary), td_at_frame=j(est.td_at_frame),
         prior=est.prior,
         speed_hist=jnp.zeros(8, d),
-        n_solves=jnp.zeros((), jnp.int32))
+        n_solves=jnp.zeros((), jnp.int32),
+        last_id=jnp.asarray(
+            max(int(db.ids.max()),
+                getattr(est.selector, "last_feature_id", -1)),
+            jnp.int32))
 
 
 # ---------------------------------------------------------------------------
@@ -374,6 +393,60 @@ def _slide_second_newest_db(st: DeviceVioState, cfg: WindowConfig):
         solved=jnp.where(dead, 0.0, st.solved))
 
 
+def _select_stage(pr: DeviceVioParams, st: DeviceVioState, k: int,
+                  in_ids, in_pts, in_vel, in_prob, in_active,
+                  imu_dts, imu_acc, imu_gyr):
+    """On-device anticipation gate (AttentionSelector.select semantics):
+    features already in the DB pass through (tracked subset, :111-120);
+    candidates are active features with id above the watermark; selection
+    runs the horizon/Ω/Δ/greedy pipeline with the dynamic κ̄−tracked
+    budget. Returns (gated in_active, new watermark)."""
+    from anticipated_vins_mono_tpu.models.feature_selector import \
+        _device_select
+    scfg = pr.sel_cfg
+    dtype = st.pts.dtype
+    occupied = st.ids >= 0
+    eq = (st.ids[:, None] == in_ids[None, :]) & in_active[None, :] \
+        & occupied[:, None]                                   # [F,N]
+    matched_in = jnp.any(eq, axis=0)                          # [N]
+    slot_matched = jnp.any(eq, axis=1)                        # [F]
+    slot_in = jnp.argmax(eq, axis=1)                          # [F]
+    tracked_n = jnp.sum(slot_matched)
+    budget = jnp.clip(scfg.max_features - tracked_n,
+                      0, scfg.max_features)
+
+    is_new = in_active & ~matched_in & (in_ids > st.last_id)
+    # latest IMU sample of the incoming batch (setNextStateFromImu
+    # propagation hand-off, feature_selector.h:64-68)
+    n = jnp.sum(imu_dts > 0).astype(jnp.int32)
+    last = jnp.clip(n - 1, 0, imu_dts.shape[0] - 1)
+    acc_l = imu_acc[last]
+    gyr_l = imu_gyr[last]
+
+    F = st.ids.shape[0]
+    a = _anchor(st)
+    lm_mask = (occupied & (st.solved > 0)).astype(dtype)
+    lm_uv = jnp.take_along_axis(st.pts, a[:, None, None],
+                                axis=1)[:, 0, :2]
+    lm_depth = 1.0 / jnp.maximum(st.inv_depth, 1e-3)
+    used_pts = in_pts[slot_in]                                # [F,3]
+    used_depths = jnp.where(st.solved > 0, lm_depth, 5.0)
+    used_valid = slot_matched.astype(dtype)
+
+    sel, _, _, _ = _device_select(
+        scfg, scfg.max_features, pr.sel_n_imu, pr.sel_dt_imu,
+        st.p[k], st.q[k], st.v[k], acc_l, gyr_l,
+        st.ba[k], st.bg[k], st.tic, st.qic,
+        in_pts, in_prob, is_new.astype(dtype),
+        used_pts, used_depths, used_valid,
+        lm_uv, lm_depth, lm_mask, budget=budget)
+    gated = in_active & (matched_in | (sel > 0.5))
+    new_last = jnp.maximum(
+        st.last_id,
+        jnp.max(jnp.where(in_active, in_ids, jnp.int32(-1))))
+    return gated, new_last
+
+
 # ---------------------------------------------------------------------------
 # the step
 # ---------------------------------------------------------------------------
@@ -421,6 +494,13 @@ def vio_step(pr: DeviceVioParams, st: DeviceVioState,
         # 0, not st.td: no stream re-stamping here -> absolute td
         # correction (see estimator.process_frame's cur_td note)
         td_at_frame=st.td_at_frame.at[k].set(0.0))
+
+    # -- anticipation/attention gate (optional, pr.sel_cfg)
+    if pr.sel_cfg is not None:
+        in_active, new_last = _select_stage(
+            pr, st, k, in_ids, in_pts, in_vel, in_prob, in_active,
+            imu_dts, imu_acc, imu_gyr)
+        st = st._replace(last_id=new_last)
 
     # -- feature DB insert + keyframe decision
     st, keyframe, tracked = _db_add_frame(

