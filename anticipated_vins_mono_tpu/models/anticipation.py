@@ -360,7 +360,9 @@ def select_informative(Omega: jax.Array, Deltas: jax.Array,
     Returns (selected mask [F], Ω after the selected updates).
     """
     if impl is None:
-        impl = "chol" if jax.default_backend() == "cpu" else "lowrank"
+        import os
+        impl = os.environ.get("ANT_SELECT_IMPL") or (
+            "chol" if jax.default_backend() == "cpu" else "lowrank")
     if budget is None:
         budget = kappa
     F = Deltas.shape[0]
