@@ -240,6 +240,14 @@ def _db_add_frame(st: DeviceVioState, k: int, in_ids, in_pts, in_vel,
     vel = vel.at[:, k].set(jnp.where(take[:, None], obs_v, vel[:, k]))
     mask = mask.at[:, k].set(jnp.where(take, 1.0, mask[:, k]))
     prob = jnp.where(take, obs_pr, st.prob)
+    # anchor-velocity backfill (FeatureDB.add_frame parity): a feature's
+    # first observation carries the tracker's 0-velocity sentinel, and that
+    # observation is the td factor's anchor — copy the now-known velocity
+    # back one frame so the anchor-side td·vel correction exists
+    prev_first = matched_slot & (mask[:, k - 1] > 0) \
+        & ~jnp.any(vel[:, k - 1] != 0.0, axis=-1)
+    vel = vel.at[:, k - 1].set(
+        jnp.where(prev_first[:, None], obs_v, vel[:, k - 1]))
 
     # keyframe: parallax between frames k-2 and k-1 (_mean_parallax)
     both = (mask[:, k - 2] > 0) & (mask[:, k - 1] > 0)

@@ -65,6 +65,21 @@ class FeatureDB:
             self.vel[slot, frame_idx] = vel
             self.prob[slot] = prob
             self.mask[slot, frame_idx] = 1.0
+            # Anchor-velocity backfill: the front end cannot know a
+            # feature's image velocity at its FIRST observation and emits
+            # the 0-sentinel (feature_tracker.cpp pts_velocity for new
+            # points; frontend.process:554). That first observation is
+            # exactly the td factor's ANCHOR (projection_td_factor.cpp:
+            # 50-52 corrects BOTH endpoints by td·vel) — leaving it 0
+            # silently drops the anchor-side correction and biases td
+            # toward 0 (measured: analytic 20 s recovers 0.94 ms of an
+            # injected 5 ms; with true first-obs velocities 3.7 ms and
+            # climbing — results/r4/td_anchor_vel.json). The velocity
+            # becomes known one frame later: copy it back (constant-
+            # velocity approx over one frame interval).
+            if (frame_idx > 0 and self.mask[slot, frame_idx - 1] > 0
+                    and not np.any(self.vel[slot, frame_idx - 1])):
+                self.vel[slot, frame_idx - 1] = vel
         self.last_obs_count = tracked
 
         if frame_idx < 2 or tracked < 20:
