@@ -325,10 +325,10 @@ def logdet_upper_bounds(Omega: jax.Array, Deltas: jax.Array,
     return jnp.sum(jnp.log(jnp.maximum(diag, 1e-12)), axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("kappa", "impl"))
+@functools.partial(jax.jit, static_argnames=("kappa", "impl", "group"))
 def select_informative(Omega: jax.Array, Deltas: jax.Array,
                        probs: jax.Array, valid: jax.Array, kappa: int,
-                       impl: str = None, budget=None):
+                       impl: str = None, budget=None, group: int = None):
     """Exact greedy logdet maximization, all candidates scored per round.
 
     Mirrors selectInformativeFeatures (feature_selector.cpp:613-686) with the
@@ -357,12 +357,26 @@ def select_informative(Omega: jax.Array, Deltas: jax.Array,
     of the reference (feature_selector.cpp:151-166) without a recompile
     per distinct budget.
 
+    `group` (static, default 1 / env ANT_SELECT_GROUP): BLOCKED greedy —
+    each round takes the top-`group` candidates by marginal gain and
+    applies their Ω updates together, in ⌈κ/group⌉ rounds. group=1 is the
+    reference's exact greedy. The greedy loop is latency-bound on TPU
+    (κ sequential rounds of small-matrix algebra), so grouping divides
+    the selector's wall time by ~group at a bounded optimality cost: the
+    within-group interaction terms are ignored at *choice* time only
+    (the Ω update itself is exact), and batched greedy keeps the
+    (1−1/e)-style submodular approximation guarantee. Measured logdet
+    gap vs exact greedy: tests/test_feature_selector.py.
+
     Returns (selected mask [F], Ω after the selected updates).
     """
+    import os
     if impl is None:
-        import os
         impl = os.environ.get("ANT_SELECT_IMPL") or (
             "chol" if jax.default_backend() == "cpu" else "lowrank")
+    if group is None:
+        group = int(os.environ.get("ANT_SELECT_GROUP", "1"))
+    group = max(1, min(group, kappa)) if kappa else 1
     if budget is None:
         budget = kappa
     F = Deltas.shape[0]
@@ -396,11 +410,8 @@ def select_informative(Omega: jax.Array, Deltas: jax.Array,
             gain = lie.logdet_psd(G)
             gain = jnp.where((valid > 0) & (sel < 0.5), gain, -jnp.inf)
             gain = jnp.where(jnp.isnan(gain), -jnp.inf, gain)
-            best = jnp.argmax(gain)
-            ok = jnp.isfinite(gain[best]) & (_i < budget)
-            sel = sel.at[best].add(ok.astype(dtype))
-            Om = Om + ok.astype(dtype) * probs[best] * Deltas[best]
-            return Om, jnp.minimum(sel, 1.0)
+            return _apply_topg(Om, sel, gain, probs, Deltas, budget,
+                               group, dtype)
     else:
         def round_body(_i, carry):
             Om, sel = carry
@@ -410,14 +421,32 @@ def select_informative(Omega: jax.Array, Deltas: jax.Array,
             ld = pallas_kernels.logdet_psd(cand)
             ld = jnp.where((valid > 0) & (sel < 0.5), ld, -jnp.inf)
             ld = jnp.where(jnp.isnan(ld), -jnp.inf, ld)
-            best = jnp.argmax(ld)
-            ok = jnp.isfinite(ld[best]) & (_i < budget)
-            sel = sel.at[best].add(ok.astype(dtype))
-            Om = Om + ok.astype(dtype) * probs[best] * Deltas[best]
-            return Om, jnp.minimum(sel, 1.0)
+            return _apply_topg(Om, sel, ld, probs, Deltas, budget,
+                               group, dtype)
 
     Om0 = Omega
     sel0 = jnp.zeros(F, dtype)
-    Om, sel = jax.lax.fori_loop(0, kappa, lambda i, c: round_body(i, c),
+    n_rounds = -(-kappa // group)
+    Om, sel = jax.lax.fori_loop(0, n_rounds, lambda i, c: round_body(i, c),
                                 (Om0, sel0))
     return sel, Om
+
+
+def _apply_topg(Om, sel, gain, probs, Deltas, budget, group: int, dtype):
+    """One blocked-greedy round: admit the top-`group` candidates by gain
+    (subject to the remaining traced budget), apply their Ω updates as one
+    einsum. group=1 reduces to the exact-greedy argmax round."""
+    n_already = jnp.sum(sel)
+    if group == 1:
+        best = jnp.argmax(gain)
+        ok = jnp.isfinite(gain[best]) & (n_already < budget)
+        sel = sel.at[best].add(ok.astype(dtype))
+        Om = Om + ok.astype(dtype) * probs[best] * Deltas[best]
+        return Om, jnp.minimum(sel, 1.0)
+    vals, idx = jax.lax.top_k(gain, group)
+    ranks = jnp.arange(group, dtype=n_already.dtype)
+    ok = jnp.isfinite(vals) & (n_already + ranks < budget)
+    sel = sel.at[idx].add(ok.astype(dtype))
+    Om = Om + jnp.einsum("g,gde->de",
+                         ok.astype(dtype) * probs[idx], Deltas[idx])
+    return Om, jnp.minimum(sel, 1.0)

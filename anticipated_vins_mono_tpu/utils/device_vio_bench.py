@@ -27,7 +27,7 @@ import time
 
 def main(duration: float = 20.0, width: int = 752, height: int = 480,
          n_feats: int = 150, out: str | None = None, dtype_str: str = None,
-         kappa: int = 0):
+         kappa: int = 0, accum: str = None):
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
@@ -77,7 +77,12 @@ def main(duration: float = 20.0, width: int = 752, height: int = 480,
         gyr0[f] = traj.gyr_body[s]
 
     # ---- host warm-up through the DEVICE tracker's measurements
-    wcfg = WindowConfig(window=10, max_feats=128, iters=8)
+    # accumulation precision: on TPU the accurate-and-native choice is
+    # df32 (error-free-transformation double-float, RESULTS §7 — plain
+    # f32 drifts; "f64" without x64 silently IS plain f32); on CPU f64.
+    if accum is None:
+        accum = "df32" if backend == "tpu" else "f64"
+    wcfg = WindowConfig(window=10, max_feats=128, iters=8, accum=accum)
     tparams = td.TrackerDeviceParams(max_features=n_feats)
     tracker = td.DeviceFeatureTracker(cam, tparams)
     est = VioEstimator(wcfg, dtype=dtype, init_state={
@@ -151,6 +156,7 @@ def main(duration: float = 20.0, width: int = 752, height: int = 480,
         "keyframe_fraction": float(np.asarray(outs[3]).mean()),
         "cost_final_mean": float(costs.mean()),
         "kappa": kappa,
+        "accum": accum,
         "reference_ms_per_frame": 57.0,
         "vs_reference": 57.0 / device_ms,
     }
@@ -170,6 +176,7 @@ if __name__ == "__main__":
     ap.add_argument("--out", default=None)
     ap.add_argument("--dtype", default=None)
     ap.add_argument("--kappa", type=int, default=0)
+    ap.add_argument("--accum", default=None)
     a = ap.parse_args()
     main(a.duration, a.width, a.height, out=a.out, dtype_str=a.dtype,
-         kappa=a.kappa)
+         kappa=a.kappa, accum=a.accum)

@@ -253,3 +253,58 @@ def test_greedy_lowrank_matches_chol():
     np.testing.assert_array_equal(np.asarray(sel_c), np.asarray(sel_l))
     np.testing.assert_allclose(np.asarray(Om_c), np.asarray(Om_l),
                                rtol=1e-9, atol=1e-9)
+
+
+def test_blocked_greedy_near_exact():
+    """Blocked greedy (group>1): ~group× fewer sequential rounds on TPU.
+    group=1 must equal exact greedy bit-for-bit; larger groups must respect
+    κ and stay within a small logdet gap of exact greedy (the within-round
+    interaction terms it ignores are second-order for diffuse Δs)."""
+    rng = np.random.default_rng(7)
+    H, S, D = CFG.horizon, ant.STATE_SIZE, CFG.dim
+    E = np.asarray(ant._pos_embedding(H, S, D, jnp.float64))
+    F = 40
+    Deltas = []
+    for _ in range(F):
+        B = rng.normal(size=(5, 3 * H)) * 0.8
+        Deltas.append(E.T @ (B.T @ B) @ E)
+    Deltas = jnp.asarray(np.stack(Deltas))
+    A = rng.normal(size=(D + 3, D)) * 0.3
+    Omega = jnp.asarray(A.T @ A + np.eye(D))
+    probs = jnp.asarray(rng.uniform(0.4, 1.0, F))
+    valid = jnp.ones(F)
+    kappa = 12
+
+    sel_ref, Om_ref = ant.select_informative(Omega, Deltas, probs, valid,
+                                             kappa, impl="chol")
+    sel_g1, Om_g1 = ant.select_informative(Omega, Deltas, probs, valid,
+                                           kappa, impl="chol", group=1)
+    np.testing.assert_array_equal(np.asarray(sel_ref), np.asarray(sel_g1))
+
+    ld_ref = float(np.linalg.slogdet(np.asarray(Om_ref))[1])
+    ld_base = float(np.linalg.slogdet(np.asarray(Omega))[1])
+    for group in (4, 6, 12):
+        for impl in ("chol", "lowrank"):
+            sel_g, Om_g = ant.select_informative(
+                Omega, Deltas, probs, valid, kappa, impl=impl, group=group)
+            assert int(np.asarray(sel_g).sum()) == kappa
+            ld_g = float(np.linalg.slogdet(np.asarray(Om_g))[1])
+            # blocked greedy keeps ≥95% of exact greedy's logdet GAIN
+            assert ld_g - ld_base >= 0.95 * (ld_ref - ld_base), \
+                (group, impl, ld_g, ld_ref)
+
+
+def test_blocked_greedy_budget_cap():
+    """Traced budget < κ must cap total selections under grouping too."""
+    rng = np.random.default_rng(11)
+    H, S, D = CFG.horizon, ant.STATE_SIZE, CFG.dim
+    E = np.asarray(ant._pos_embedding(H, S, D, jnp.float64))
+    F = 20
+    Deltas = jnp.asarray(np.stack([
+        E.T @ ((lambda B: B.T @ B)(rng.normal(size=(5, 3 * H)))) @ E
+        for _ in range(F)]))
+    Omega = jnp.asarray(np.eye(D))
+    sel, _ = ant.select_informative(Omega, Deltas, jnp.ones(F), jnp.ones(F),
+                                    12, impl="chol", group=5,
+                                    budget=jnp.asarray(7))
+    assert int(np.asarray(sel).sum()) == 7
