@@ -176,6 +176,34 @@ def run_loop_benchmark(duration: float = 90.0, laps: float | None = None,
     if out_prefix:
         write_tum(out_prefix + "_vio.tum", t_v, p_v, q_v)
         write_tum(out_prefix + "_loop.tum", t_l, p_l, q_l)
+    # per-edge quality vs ground truth: the analytic trajectory gives the
+    # exact relative pose each accepted loop SHOULD have measured (PnP in
+    # find_connection). Edge errors tell apart "PGO can't help" (bad
+    # edges) from "PGO mis-applies good edges".
+    edges = []
+    if g.n:
+        t_kf = np.array([e.t for e in node.entries])
+        gt_p = np.stack([np.interp(t_kf, traj.t, traj.p[:, i])
+                         for i in range(3)], -1)
+        ks = np.clip(np.round(t_kf * 200.0).astype(int), 0, len(traj.t) - 1)
+        gt_ypr = np.stack([np.asarray(lie.rot_to_ypr(jnp.asarray(R_all[k])))
+                           for k in ks])
+        for e in range(int(g.n_loops)):
+            i, j = int(g.loop_i[e]), int(g.loop_j[e])
+            yaw_i = np.deg2rad(gt_ypr[i, 0])
+            c, s_ = np.cos(yaw_i), np.sin(yaw_i)
+            Rz = np.array([[c, -s_, 0], [s_, c, 0], [0, 0, 1.0]])
+            t_gt = Rz.T @ (gt_p[j] - gt_p[i])
+            dyaw_gt = gt_ypr[j, 0] - gt_ypr[i, 0]
+            dyaw_gt = (dyaw_gt + 180.0) % 360.0 - 180.0
+            dyaw_err = (float(g.loop_yaw[e]) - dyaw_gt + 180.0) % 360.0 - 180.0
+            edges.append({
+                "i": i, "j": j, "gap": j - i,
+                "t_meas": [round(float(x), 4) for x in g.loop_t[e]],
+                "t_gt": [round(float(x), 4) for x in t_gt],
+                "t_err_m": round(float(np.linalg.norm(g.loop_t[e] - t_gt)), 4),
+                "yaw_err_deg": round(dyaw_err, 3),
+            })
     return {
         "benchmark": "loop_closure_runtime",
         "duration_s": duration, "laps": laps,
@@ -188,6 +216,7 @@ def run_loop_benchmark(duration: float = 90.0, laps: float | None = None,
         "improvement_path": float(ate_vio / max(ate_path, 1e-9)),
         "vio_failures": est2.diag.failures,
         "funnel": dict(node.stats),
+        "edges": edges,
     }
 
 
