@@ -18,8 +18,8 @@ import time
 import jax
 
 try:
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    from anticipated_vins_mono_tpu.utils.jaxenv import enable_compile_cache
+    enable_compile_cache()
 except Exception:
     pass
 

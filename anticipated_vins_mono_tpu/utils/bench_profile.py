@@ -52,8 +52,8 @@ def _flops(fn, *args):
 
 def main(B: int = 64, out: str | None = None, trace_dir: str | None = None):
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    from anticipated_vins_mono_tpu.utils.jaxenv import enable_compile_cache
+    enable_compile_cache()
     import jax.numpy as jnp
     import jax.tree_util as jtu
 

@@ -13,6 +13,36 @@ import os
 from contextlib import nullcontext
 
 
+def cache_dir() -> str:
+    """Per-machine persistent-compile-cache directory.
+
+    A shared literal path ("/tmp/jax_cache") poisons runs when entries were
+    AOT-compiled on a host with different CPU features: XLA:CPU loads them
+    anyway, warning "could lead to execution errors such as SIGILL" — and
+    FMA/codegen differences make results non-reproducible run to run.
+    Key the directory by the host's platform fingerprint so every machine
+    type gets its own cache."""
+    import hashlib
+    import platform
+    fp = "-".join([platform.machine(), platform.processor() or "cpu"])
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    fp += hashlib.sha1(line.encode()).hexdigest()[:8]
+                    break
+    except OSError:
+        pass
+    return f"/tmp/jax_cache_{fp}"
+
+
+def enable_compile_cache():
+    """Turn on the persistent compile cache (machine-keyed, see cache_dir)."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir", cache_dir())
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+
 def host_device():
     """The host CPU device, or None if the CPU platform isn't registered."""
     import jax
@@ -77,7 +107,7 @@ def force_cpu_f64(devices: int | None = None,
         jax.config.update("jax_enable_x64", True)
         # persistent compile cache: grid cells share solver shapes — without
         # this every subprocess pays the full ~minutes compile again
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir())
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
     except RuntimeError:
         pass  # backend already up — the assert below is the real check

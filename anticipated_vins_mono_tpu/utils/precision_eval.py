@@ -39,8 +39,8 @@ def steer(platform: str, x64: bool):
         jax.config.update("jax_enable_x64", True)
     # persistent compile cache: repeat runs of the same shapes skip the
     # (remote, minutes-long) TPU compile
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    from anticipated_vins_mono_tpu.utils.jaxenv import enable_compile_cache
+    enable_compile_cache()
     assert jax.default_backend() == ("cpu" if platform == "cpu" else "tpu"), \
         jax.default_backend()
     return jax.default_backend()

@@ -45,8 +45,8 @@ import time
 def main(n_frames: int = 100, width: int = 752, height: int = 480,
          n_feats: int = 150, out: str | None = None):
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    from anticipated_vins_mono_tpu.utils.jaxenv import enable_compile_cache
+    enable_compile_cache()
     import jax.numpy as jnp
     import numpy as np
 
