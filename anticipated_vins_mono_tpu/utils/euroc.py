@@ -67,9 +67,34 @@ def gt_to_trajectory(gt: dict, add_bias: bool = True) -> Trajectory:
     a_w = np.gradient(v, axis=0) / dt[:, None]
 
     q_j = jnp.asarray(q)
-    dq = lie.quat_mul(lie.quat_conj(q_j[:-1]), q_j[1:])
-    w_body = np.asarray(lie.log_so3(dq)) / dt[:-1, None]
-    w_body = np.vstack([w_body, w_body[-1:]])
+    # Gyro synthesis has an inherent timing/bandwidth trade at the GT's
+    # 200 Hz sampling (measured A/B on MH_04 60 s, policy=all):
+    # - FORWARD difference log(q_k^-1 ⊗ q_{k+1})/dt (default): the exact
+    #   AVERAGE rate over [t_k, t_{k+1}] — full bandwidth, but it is the
+    #   instantaneous rate at t_k+dt/2, so the stream LEADS its stamps by
+    #   half a GT sample (2.5 ms at 200 Hz). ATE 0.082 m. The skew acts as
+    #   a true cam-IMU offset: online td estimation on an injected 5 ms
+    #   recovers 2.44–2.58 ms ≡ (injected − 2.5) to within ±0.1 ms
+    #   (results/r4/td_recovery_backfill.json) — td experiments must
+    #   compare against (cam_td − dt/2).
+    # - CENTRAL difference (ANT_GT_GYRO=central): timing-true (td then
+    #   recovers the full injected value: 5.006/5.136 ms measured,
+    #   results/r4/td_recovery_central.json) but halves the effective
+    #   gyro bandwidth, which costs real accuracy under MH_04's
+    #   aggressive rotation: ATE 0.188 m. Kept as the control mode.
+    if os.environ.get("ANT_GT_GYRO", "forward") == "forward":
+        dq = lie.quat_mul(lie.quat_conj(q_j[:-1]), q_j[1:])
+        w_body = np.asarray(lie.log_so3(dq)) / dt[:-1, None]
+        w_body = np.vstack([w_body, w_body[-1:]])
+    else:
+        dq2 = lie.quat_mul(lie.quat_conj(q_j[:-2]), q_j[2:])
+        dt2 = (t[2:] - t[:-2])[:, None]
+        w_mid = np.asarray(lie.log_so3(dq2)) / dt2
+        dq_f = lie.quat_mul(lie.quat_conj(q_j[:1]), q_j[1:2])
+        dq_b = lie.quat_mul(lie.quat_conj(q_j[-2:-1]), q_j[-1:])
+        w_first = np.asarray(lie.log_so3(dq_f)) / dt[:1, None]
+        w_last = np.asarray(lie.log_so3(dq_b)) / dt[-1:, None]
+        w_body = np.vstack([w_first, w_mid, w_last])
 
     R = np.asarray(lie.quat_to_rot(q_j))
     acc_body = np.einsum("nij,nj->ni", R.transpose(0, 2, 1), a_w - G_W)
