@@ -180,7 +180,8 @@ def find_connection(desc_old: jax.Array, kps_old_3d: np.ndarray,
                     max_hamming: int = 80, min_inliers: int = 25,
                     reproj_thresh: float = 10.0 / 460.0,
                     R0: np.ndarray | None = None,
-                    p0: np.ndarray | None = None):
+                    p0: np.ndarray | None = None,
+                    fail_stats: dict | None = None):
     """Geometric loop verification — KeyFrame::findConnection parity
     (keyframe.cpp:259-430): BRIEF Hamming matching (< 80, :200-230) between
     the old keyframe's features (with 3-D positions) and the candidate
@@ -211,11 +212,20 @@ def find_connection(desc_old: jax.Array, kps_old_3d: np.ndarray,
     dist = ham[np.arange(len(best)), best]
     ok = dist <= max_hamming
     if ok.sum() < min_inliers:
+        if fail_stats is not None:
+            fail_stats["match_short"] = fail_stats.get("match_short", 0) + 1
         return None
     X = kps_old_3d[ok]
     uv = kps_new_uv[best[ok]]
     # PnP RANSAC (keyframe.cpp PnPRANSAC): minimal GN fits on random
-    # 6-subsets, keep the largest reprojection-inlier set, refit on it
+    # 4-subsets, keep the largest reprojection-inlier set, refit on it.
+    # Sample size and round count are chosen for the measured ~50%
+    # cross-view BRIEF mismatch rate: P(clean sample) = 0.5^4 ≈ 6%, so
+    # 150 rounds expect ~9 clean hypotheses (the funnel previously died
+    # here: 6-point samples × 30 rounds expect <1 — 107/109 verify
+    # failures were 'ransac_short', results/r4 loop diag). The reference
+    # runs cv::solvePnPRansac's default 100 iterations with EPnP minimal
+    # sets for the same reason.
     rng = np.random.default_rng(0)
     n = len(X)
 
@@ -225,26 +235,36 @@ def find_connection(desc_old: jax.Array, kps_old_3d: np.ndarray,
         return np.linalg.norm(Pc[:, :2] / z[:, None] - uv, axis=1)
 
     best_inl = np.zeros(n, bool)
-    for _ in range(30):
-        idx = rng.choice(n, 6, replace=False)
+    for _ in range(150):
+        idx = rng.choice(n, 4, replace=False)
         got = pnp_gn(X[idx], uv[idx], R0, p0, iters=10)
         if got is None:
             continue
         inl = reproj_err(*got) < reproj_thresh
         if inl.sum() > best_inl.sum():
             best_inl = inl
+            if best_inl.sum() > 0.7 * n:
+                break
     if best_inl.sum() < min_inliers:
+        if fail_stats is not None:
+            fail_stats["ransac_short"] = fail_stats.get("ransac_short", 0) + 1
         return None
     got = pnp_gn(X[best_inl], uv[best_inl], R0, p0, iters=15)
     if got is None:
         return None
     R, p = got
-    inl = reproj_err(R, p) < reproj_thresh
+    errs = reproj_err(R, p)
+    inl = errs < reproj_thresh
     if inl.sum() < min_inliers:
+        if fail_stats is not None:
+            fail_stats["refit_short"] = fail_stats.get("refit_short", 0) + 1
         return None
     rows_old = np.nonzero(ok)[0]
     pairs = list(zip(rows_old[inl].tolist(), best[ok][inl].tolist()))
-    return R, p, int(inl.sum()), pairs
+    # final-fit inlier reprojection RMS (normalized plane) — the edge's
+    # own quality estimate, used to weight its PGO residual
+    rms = float(np.sqrt(np.mean(errs[inl] ** 2)))
+    return R, p, int(inl.sum()), pairs, rms
 
 
 # ----------------------------------------------------------------------------
@@ -288,7 +308,8 @@ def pgo_solve(pos: jax.Array, yaw: jax.Array, pitch_roll: jax.Array,
               seq_yaw: jax.Array, seq_valid: jax.Array,
               loop_i: jax.Array, loop_j: jax.Array, loop_t: jax.Array,
               loop_yaw: jax.Array, loop_valid: jax.Array,
-              cfg: PGOConfig, gauge: jax.Array | None = None):
+              cfg: PGOConfig, gauge: jax.Array | None = None,
+              loop_w: jax.Array | None = None):
     """Masked Gauss-Newton over (x,y,z,yaw) per keyframe.
 
     `gauge` [K] marks keyframes held constant; when None, the earliest valid
@@ -302,6 +323,8 @@ def pgo_solve(pos: jax.Array, yaw: jax.Array, pitch_roll: jax.Array,
     dtype = pos.dtype
     n_var = 4 * K
     first = jnp.argmax(kf_valid)          # earliest valid keyframe index
+    if loop_w is None:
+        loop_w = jnp.ones_like(loop_valid)
 
     def one_iter(_, carry):
         pos, yaw = carry
@@ -315,8 +338,10 @@ def pgo_solve(pos: jax.Array, yaw: jax.Array, pitch_roll: jax.Array,
             i, j = loop_i[k], loop_j[k]
             r = _edge_residual(p2[i], y2[i], pitch_roll[i],
                                p2[j], y2[j], loop_t[k], loop_yaw[k])
+            # per-edge information weight (PnP-quality driven, loop_node)
+            # composes with the Huber robustifier
             w = _huber_w(jnp.sum(jax.lax.stop_gradient(r) ** 2), cfg.huber)
-            return r * w * loop_valid[k]
+            return r * w * loop_valid[k] * loop_w[k]
 
         H = jnp.zeros((n_var, n_var), dtype)
         g = jnp.zeros(n_var, dtype)
@@ -419,6 +444,7 @@ class PoseGraph:
         self.loop_t = np.zeros((L, 3))
         self.loop_yaw = np.zeros(L)
         self.loop_valid = np.zeros(L)
+        self.loop_w = np.ones(L)
         self.n_loops = 0
         self.t_drift = np.zeros(3)
         self.yaw_drift = 0.0
@@ -449,7 +475,7 @@ class PoseGraph:
         if self.n_loops >= cfg.max_loops:
             L2 = cfg.max_loops * 2
             for name in ("loop_i", "loop_j", "loop_t", "loop_yaw",
-                         "loop_valid"):
+                         "loop_valid", "loop_w"):
                 setattr(self, name, self._grown(getattr(self, name), L2))
             self.cfg = cfg._replace(max_loops=L2)
 
@@ -527,7 +553,8 @@ class PoseGraph:
             self.add_loop_edge(loop, k, rel_t, rel_yaw)
         return loop
 
-    def add_loop_edge(self, i: int, j: int, rel_t, rel_yaw: float):
+    def add_loop_edge(self, i: int, j: int, rel_t, rel_yaw: float,
+                      weight: float = 1.0):
         """Insert a geometrically-verified loop edge i←j (rel_t in keyframe
         i's frame, rel_yaw degrees) — the loop_info produced by
         KeyFrame::findConnection (keyframe.cpp:259-430). Cross-sequence
@@ -542,6 +569,7 @@ class PoseGraph:
         self.loop_t[e] = np.asarray(rel_t, float)
         self.loop_yaw[e] = float(rel_yaw)
         self.loop_valid[e] = 1.0
+        self.loop_w[e] = float(weight)
         self.n_loops += 1
 
     def _align_sequence_to_loop(self, i: int, j: int, rel_t, rel_yaw):
@@ -600,7 +628,8 @@ class PoseGraph:
             jnp.asarray(self.loop_i), jnp.asarray(self.loop_j),
             jnp.asarray(self.loop_t), jnp.asarray(self.loop_yaw),
             jnp.asarray(self.loop_valid), cfg,
-            gauge=jnp.asarray(self._gauge_mask()))
+            gauge=jnp.asarray(self._gauge_mask()),
+            loop_w=jnp.asarray(self.loop_w))
         self.pos = np.array(pos)
         self.yaw = np.array(yaw)
         # drift of the newest keyframe (pose_graph.cpp:561-575)

@@ -69,7 +69,8 @@ def run_loop_benchmark(duration: float = 90.0, laps: float | None = None,
                        sim_hi: float | None = None,
                        max_features: int = 150,
                        out_prefix: str | None = None,
-                       kf_stride: int = 2, verbose: bool = False) -> dict:
+                       kf_stride: int = 2, verbose: bool = False,
+                       n_corners: int = 300, min_loop_inliers: int = 25) -> dict:
     """Returns {'ate_vio':…, 'ate_loop':…, 'loops':…} (meters).
 
     laps=None keeps one lap per 10 s (ω̄≈0.63 rad/s). Slower laps starve
@@ -138,7 +139,9 @@ def run_loop_benchmark(duration: float = 90.0, laps: float | None = None,
     # ---- pass 2: VIO + loop closure (vins_result_loop)
     est2 = VioEstimator(wcfg)
     node = LoopClosureNode(cam=cam, graph=pg.PoseGraph(),
-                           sim_hi=sim_hi, skip_cnt=kf_stride - 1)
+                           sim_hi=sim_hi, skip_cnt=kf_stride - 1,
+                           n_corners=n_corners,
+                           min_inliers=min_loop_inliers)
     out = []
     for i, fm in enumerate(make_sim().frames()):
         if verbose and i % 100 == 0:
@@ -181,7 +184,14 @@ def run_loop_benchmark(duration: float = 90.0, laps: float | None = None,
     # find_connection). Edge errors tell apart "PGO can't help" (bad
     # edges) from "PGO mis-applies good edges".
     edges = []
+    kf_dump = []
     if g.n:
+        for en in node.entries:
+            ypr = np.asarray(lie.rot_to_ypr(jnp.asarray(
+                lie.quat_to_rot(jnp.asarray(en.q_vio)))))
+            kf_dump.append({"t": round(float(en.t), 4),
+                            "p": [round(float(x), 5) for x in en.p_vio],
+                            "ypr": [round(float(x), 4) for x in ypr]})
         t_kf = np.array([e.t for e in node.entries])
         gt_p = np.stack([np.interp(t_kf, traj.t, traj.p[:, i])
                          for i in range(3)], -1)
@@ -197,13 +207,18 @@ def run_loop_benchmark(duration: float = 90.0, laps: float | None = None,
             dyaw_gt = gt_ypr[j, 0] - gt_ypr[i, 0]
             dyaw_gt = (dyaw_gt + 180.0) % 360.0 - 180.0
             dyaw_err = (float(g.loop_yaw[e]) - dyaw_gt + 180.0) % 360.0 - 180.0
-            edges.append({
+            row = {
                 "i": i, "j": j, "gap": j - i,
                 "t_meas": [round(float(x), 4) for x in g.loop_t[e]],
                 "t_gt": [round(float(x), 4) for x in t_gt],
                 "t_err_m": round(float(np.linalg.norm(g.loop_t[e] - t_gt)), 4),
                 "yaw_err_deg": round(dyaw_err, 3),
-            })
+            }
+            if e < len(node.loops):   # same insertion order as loop edges
+                row.update({k: node.loops[e][k]
+                            for k in ("inliers", "rms", "weight")
+                            if k in node.loops[e]})
+            edges.append(row)
     return {
         "benchmark": "loop_closure_runtime",
         "duration_s": duration, "laps": laps,
@@ -217,6 +232,7 @@ def run_loop_benchmark(duration: float = 90.0, laps: float | None = None,
         "vio_failures": est2.diag.failures,
         "funnel": dict(node.stats),
         "edges": edges,
+        "keyframes_vio": kf_dump,
     }
 
 
@@ -237,6 +253,8 @@ if __name__ == "__main__":
     ap.add_argument("--imu-noise-scale", type=float, default=1.0)
     ap.add_argument("--pixel-noise", type=float, default=0.5)
     ap.add_argument("--max-features", type=int, default=150)
+    ap.add_argument("--n-corners", type=int, default=300)
+    ap.add_argument("--min-loop-inliers", type=int, default=25)
     ap.add_argument("--json-out", default=None)
     ap.add_argument("--verbose", action="store_true")
     a = ap.parse_args()
@@ -247,6 +265,7 @@ if __name__ == "__main__":
         imu_acc_sigma=0.25 * s, imu_gyr_sigma=0.012 * s,
         imu_acc_bias=0.06 * s, imu_gyr_bias=0.004 * s,
         max_features=a.max_features,
+        n_corners=a.n_corners, min_loop_inliers=a.min_loop_inliers,
         out_prefix=a.out_prefix, verbose=a.verbose)
     row["imu_noise_scale"] = s
     row["pixel_noise"] = a.pixel_noise

@@ -157,9 +157,10 @@ def test_find_connection_on_rendered_revisit():
     got = pg.find_connection(d_old, X_old, d_new, kps_new,
                              min_inliers=15, reproj_thresh=4.0 / 120.0)
     assert got is not None
-    R_est, p_est, n_inl, pairs = got
+    R_est, p_est, n_inl, pairs, rms = got
     assert n_inl >= 15
     assert len(pairs) == n_inl
+    assert 0.0 <= rms < 4.0 / 120.0
     np.testing.assert_allclose(p_est, p_new, atol=0.15)
     ang = np.degrees(np.arccos(np.clip((np.trace(R_est @ R_new.T) - 1) / 2, -1, 1)))
     assert ang < 3.0, ang
