@@ -430,6 +430,16 @@ class PoseGraph:
         self.n = 0
         self.pos = np.zeros((K, 3))
         self.yaw = np.zeros(K)
+        # VIO odometry poses, kept SEPARATE from the optimized state: the
+        # reference stores vio_T per KeyFrame (getVioPose) and builds every
+        # optimize4DoF sequential edge from it (pose_graph.cpp:466-476),
+        # never from the optimized poses. Building seq edges from `pos`
+        # corrupts them after the first optimize() rewrites `pos`
+        # non-rigidly — measured on the r4 drift probe: incremental PGO
+        # *worse* than raw VIO (1.02 vs 0.69 ATE) with seq edges from
+        # `pos`, vs 0.18 batch with odometry-consistent edges.
+        self.vio_pos = np.zeros((K, 3))
+        self.vio_yaw = np.zeros(K)
         self.pitch_roll = np.zeros((K, 2))
         self.gdesc = np.zeros((K, BRIEF_BITS))
         self.seq_id = np.zeros(K, np.int32)   # sequence index per keyframe
@@ -466,7 +476,8 @@ class PoseGraph:
         cfg = self.cfg
         if self.n >= cfg.max_kf:
             K2 = cfg.max_kf * 2
-            for name in ("pos", "yaw", "pitch_roll", "gdesc", "seq_id"):
+            for name in ("pos", "yaw", "vio_pos", "vio_yaw", "pitch_roll",
+                         "gdesc", "seq_id"):
                 setattr(self, name, self._grown(getattr(self, name), K2))
             for name in ("seq_i", "seq_j", "seq_t", "seq_yaw", "seq_valid"):
                 setattr(self, name,
@@ -507,8 +518,15 @@ class PoseGraph:
             self.prev_t = t
         k = self.n
         ypr = np.asarray(lie.rot_to_ypr(lie.quat_to_rot(jnp.asarray(q))))
-        self.pos[k] = p
-        self.yaw[k] = ypr[0]
+        self.vio_pos[k] = p
+        self.vio_yaw[k] = ypr[0]
+        # optimized-state initialization: drift-correct the incoming VIO
+        # pose (addKeyFrame's `P = r_drift*P + t_drift` before updatePose,
+        # pose_graph.cpp:561-575) so a post-loop insert starts consistent
+        # with its optimized predecessors
+        Rz = np.asarray(lie.ypr_to_rot(jnp.asarray([self.yaw_drift, 0., 0.])))
+        self.pos[k] = Rz @ np.asarray(p, float) + self.t_drift
+        self.yaw[k] = ypr[0] + self.yaw_drift
         self.pitch_roll[k] = ypr[1:3]
         self.seq_id[k] = self.cur_sequence
         if gdesc is not None:
@@ -516,19 +534,20 @@ class PoseGraph:
         self.n += 1
 
         # sequential edges to up to seq_links predecessors (:461-490),
-        # never across a sequence boundary
+        # never across a sequence boundary — measured from the VIO odometry
+        # poses (getVioPose parity), which stay consistent across optimizes
         for back in range(1, cfg.seq_links + 1):
             i = k - back
             if i < 0 or self.seq_id[i] != self.seq_id[k]:
                 break
             e = self.n_seq
-            R_i = np.asarray(_yaw_rot(jnp.asarray(self.yaw[i]),
+            R_i = np.asarray(_yaw_rot(jnp.asarray(self.vio_yaw[i]),
                                       jnp.asarray(self.pitch_roll[i, 0]),
                                       jnp.asarray(self.pitch_roll[i, 1])))
             self.seq_i[e] = i
             self.seq_j[e] = k
-            self.seq_t[e] = R_i.T @ (self.pos[k] - self.pos[i])
-            self.seq_yaw[e] = self.yaw[k] - self.yaw[i]
+            self.seq_t[e] = R_i.T @ (self.vio_pos[k] - self.vio_pos[i])
+            self.seq_yaw[e] = self.vio_yaw[k] - self.vio_yaw[i]
             self.seq_valid[e] = 1.0
             self.n_seq += 1
 
@@ -587,6 +606,12 @@ class PoseGraph:
         sel = np.nonzero(self.seq_id[: self.n] == self.seq_id[j])[0]
         self.pos[sel] = self.pos[sel] @ Rz.T + dt
         self.yaw[sel] += dyaw
+        # rigid-align the sequence's VIO poses too (updateVioPose under
+        # w_r_vio/w_t_vio, pose_graph.cpp:46-57): a rigid transform keeps
+        # every intra-sequence odometry edge exact while future edges mix
+        # old (aligned) and new (drift-corrected) endpoints consistently
+        self.vio_pos[sel] = self.vio_pos[sel] @ Rz.T + dt
+        self.vio_yaw[sel] += dyaw
 
     def _gauge_mask(self) -> np.ndarray:
         """Pin the head of every sequence not loop-anchored to an earlier
@@ -615,8 +640,6 @@ class PoseGraph:
         if self.n_loops == 0 or self.n_loops == self._last_opt_loops:
             return
         cfg = self.cfg
-        old_last = self.pos[self.n - 1].copy()
-        old_yaw = self.yaw[self.n - 1]
         kf_valid = np.zeros(cfg.max_kf)
         kf_valid[: self.n] = 1.0
         pos, yaw = pgo_solve(
@@ -632,10 +655,12 @@ class PoseGraph:
             loop_w=jnp.asarray(self.loop_w))
         self.pos = np.array(pos)
         self.yaw = np.array(yaw)
-        # drift of the newest keyframe (pose_graph.cpp:561-575)
-        self.yaw_drift = self.yaw[self.n - 1] - old_yaw
+        # drift = optimized pose of the newest keyframe vs its VIO pose
+        # (r_drift/t_drift, pose_graph.cpp:561-575) — the transform mapping
+        # raw VIO output into the loop-corrected world
+        self.yaw_drift = self.yaw[self.n - 1] - self.vio_yaw[self.n - 1]
         Rz = np.asarray(lie.ypr_to_rot(jnp.asarray([self.yaw_drift, 0.0, 0.0])))
-        self.t_drift = self.pos[self.n - 1] - Rz @ old_last
+        self.t_drift = self.pos[self.n - 1] - Rz @ self.vio_pos[self.n - 1]
         self._last_opt_loops = self.n_loops
 
     def correct(self, p, yaw_deg):

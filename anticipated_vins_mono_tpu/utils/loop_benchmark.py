@@ -251,6 +251,14 @@ if __name__ == "__main__":
     # so the raw VIO accumulates meters of drift and the loop correction
     # must carry the run (pose_graph.cpp:561-575 drift application).
     ap.add_argument("--imu-noise-scale", type=float, default=1.0)
+    # yaw is the direction VIO cannot observe (the reason the reference's
+    # PGO is 4-DoF, pose_graph.cpp:561-575); scaling the GYRO channels
+    # specifically produces secular yaw drift — the error loop closure
+    # exists to bound — whereas scaling the accelerometer mostly corrupts
+    # gravity alignment (pitch/roll), which 4-DoF PGO cannot repair by
+    # design.
+    ap.add_argument("--gyr-scale", type=float, default=1.0)
+    ap.add_argument("--acc-scale", type=float, default=1.0)
     ap.add_argument("--pixel-noise", type=float, default=0.5)
     ap.add_argument("--max-features", type=int, default=150)
     ap.add_argument("--n-corners", type=int, default=300)
@@ -259,15 +267,18 @@ if __name__ == "__main__":
     ap.add_argument("--verbose", action="store_true")
     a = ap.parse_args()
     s = a.imu_noise_scale
+    sa, sg = s * a.acc_scale, s * a.gyr_scale
     row = run_loop_benchmark(
         a.duration, a.laps, width=a.width, height=a.height, seed=a.seed,
         pixel_noise=a.pixel_noise,
-        imu_acc_sigma=0.25 * s, imu_gyr_sigma=0.012 * s,
-        imu_acc_bias=0.06 * s, imu_gyr_bias=0.004 * s,
+        imu_acc_sigma=0.25 * sa, imu_gyr_sigma=0.012 * sg,
+        imu_acc_bias=0.06 * sa, imu_gyr_bias=0.004 * sg,
         max_features=a.max_features,
         n_corners=a.n_corners, min_loop_inliers=a.min_loop_inliers,
         out_prefix=a.out_prefix, verbose=a.verbose)
     row["imu_noise_scale"] = s
+    row["gyr_scale"] = a.gyr_scale
+    row["acc_scale"] = a.acc_scale
     row["pixel_noise"] = a.pixel_noise
     row["max_features"] = a.max_features
     print(json.dumps(row))
