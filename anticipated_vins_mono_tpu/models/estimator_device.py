@@ -133,11 +133,18 @@ def vio_init_from_host(est) -> DeviceVioState:
         gyr[i, :n] = pair["gyr"][:n]
         a0[i] = pair["acc0"]
         g0[i] = pair["gyr0"]
-    j = lambda x: jnp.asarray(x, d)
+    # jnp.array (copy=True), NOT jnp.asarray: on the CPU backend
+    # jnp.asarray is ZERO-COPY for aligned f64 numpy arrays, so the device
+    # state would alias the host estimator's buffers — which VioEstimator
+    # mutates IN PLACE every subsequent process_frame (FeatureDB's slides
+    # are in-place shifts). A retained alias silently corrupts the device
+    # state (measured: vel tracks shifted twice per slide in the parity
+    # tests) and leaves jax buffers pointing into numpy memory.
+    j = lambda x: jnp.array(x, dtype=d)
     return DeviceVioState(
         p=j(est.p), q=j(est.q), v=j(est.v), ba=j(est.ba), bg=j(est.bg),
         tic=j(est.tic), qic=j(est.qic), td=j(est.td),
-        ids=jnp.asarray(db.ids, jnp.int32), pts=j(db.pts), vel=j(db.vel),
+        ids=jnp.array(db.ids, dtype=jnp.int32), pts=j(db.pts), vel=j(db.vel),
         prob=j(db.prob), mask=j(db.mask), inv_depth=j(db.inv_depth),
         solved=j(db.solved),
         imu_dts=j(dts), imu_acc=j(acc), imu_gyr=j(gyr),

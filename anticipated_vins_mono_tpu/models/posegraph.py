@@ -461,6 +461,16 @@ class PoseGraph:
         self._last_opt_loops = 0
         self.cur_sequence = 0
         self.prev_t: Optional[float] = None
+        # persistent per-sequence VIO→world alignment (w_r_vio/w_t_vio,
+        # pose_graph.cpp:60-62): once a cross-sequence loop aligns a
+        # sequence, every LATER incoming VIO pose of that sequence is
+        # re-expressed through the same transform before storage, so
+        # vio-based sequential edges never mix aligned and raw endpoints
+        self._seq_align: dict[int, tuple[float, np.ndarray]] = {}
+        # sequences already loop-anchored (sequence_loop gate,
+        # pose_graph.cpp:103,123): align rigidly only on the FIRST
+        # cross-sequence loop; later loops are ordinary edges
+        self._seq_anchored: set[int] = set()
 
     # ------------------------------------------------------------------
     # capacity growth (unbounded-keyframe parity with the reference)
@@ -493,9 +503,16 @@ class PoseGraph:
     def new_sequence(self):
         """Open a new sequence (restart / stream discontinuity). Beyond the
         reference's 5-sequence cap, data keeps joining the last sequence
-        (graceful, vs the reference's hard warning)."""
+        (graceful, vs the reference's hard warning). The reference zeroes
+        both the inter-sequence alignment AND the drift when a new-sequence
+        keyframe arrives (pose_graph.cpp:47-56) — an unrelated stream must
+        not inherit the previous sequence's corrections."""
         if self.cur_sequence + 1 < MAX_SEQUENCES:
             self.cur_sequence += 1
+            self._seq_align.pop(self.cur_sequence, None)
+            self._seq_anchored.discard(self.cur_sequence)
+        self.yaw_drift = 0.0
+        self.t_drift = np.zeros(3)
 
     # ------------------------------------------------------------------
 
@@ -518,6 +535,17 @@ class PoseGraph:
             self.prev_t = t
         k = self.n
         ypr = np.asarray(lie.rot_to_ypr(lie.quat_to_rot(jnp.asarray(q))))
+        p = np.asarray(p, float)
+        # apply the sequence's persistent VIO alignment (w_r_vio/w_t_vio,
+        # pose_graph.cpp:60-62) so post-alignment keyframes land in the same
+        # frame as their rigidly-shifted predecessors
+        al = self._seq_align.get(self.cur_sequence)
+        if al is not None:
+            a_yaw, a_t = al
+            Ra = np.asarray(lie.ypr_to_rot(jnp.asarray([a_yaw, 0.0, 0.0])))
+            p = Ra @ p + a_t
+            ypr = ypr.copy()
+            ypr[0] += a_yaw
         self.vio_pos[k] = p
         self.vio_yaw[k] = ypr[0]
         # optimized-state initialization: drift-correct the incoming VIO
@@ -525,7 +553,7 @@ class PoseGraph:
         # pose_graph.cpp:561-575) so a post-loop insert starts consistent
         # with its optimized predecessors
         Rz = np.asarray(lie.ypr_to_rot(jnp.asarray([self.yaw_drift, 0., 0.])))
-        self.pos[k] = Rz @ np.asarray(p, float) + self.t_drift
+        self.pos[k] = Rz @ p + self.t_drift
         self.yaw[k] = ypr[0] + self.yaw_drift
         self.pitch_roll[k] = ypr[1:3]
         self.seq_id[k] = self.cur_sequence
@@ -562,13 +590,17 @@ class PoseGraph:
                 rel_t = None
         if loop is not None:
             if loop_hint is None:
-                # fall back to current relative estimate (callers with
-                # imagery compute this by BRIEF matching + PnP RANSAC)
-                R_i = np.asarray(_yaw_rot(jnp.asarray(self.yaw[loop]),
+                # fall back to the VIO relative estimate (callers with
+                # imagery compute this by BRIEF matching + PnP RANSAC).
+                # Built from vio_pos/vio_yaw — the same frame the
+                # sequential edges use — NOT the optimized state: an edge
+                # derived from `pos` would be zero-residual in the solve
+                # and silently contribute nothing
+                R_i = np.asarray(_yaw_rot(jnp.asarray(self.vio_yaw[loop]),
                                           jnp.asarray(self.pitch_roll[loop, 0]),
                                           jnp.asarray(self.pitch_roll[loop, 1])))
-                rel_t = R_i.T @ (self.pos[k] - self.pos[loop])
-                rel_yaw = self.yaw[k] - self.yaw[loop]
+                rel_t = R_i.T @ (self.vio_pos[k] - self.vio_pos[loop])
+                rel_yaw = self.vio_yaw[k] - self.vio_yaw[loop]
             self.add_loop_edge(loop, k, rel_t, rel_yaw)
         return loop
 
@@ -580,7 +612,8 @@ class PoseGraph:
         edges first rigidly re-align the newer sequence (pose_graph.cpp:
         46-57)."""
         self._ensure_capacity()
-        if self.seq_id[i] != self.seq_id[j]:
+        if self.seq_id[i] != self.seq_id[j] \
+                and int(self.seq_id[j]) not in self._seq_anchored:
             self._align_sequence_to_loop(i, j, rel_t, rel_yaw)
         e = self.n_loops
         self.loop_i[e] = i
@@ -612,6 +645,17 @@ class PoseGraph:
         # old (aligned) and new (drift-corrected) endpoints consistently
         self.vio_pos[sel] = self.vio_pos[sel] @ Rz.T + dt
         self.vio_yaw[sel] += dyaw
+        # persist the alignment (compose with any prior transform) so
+        # keyframes added to this sequence AFTER this loop are re-expressed
+        # the same way (pose_graph.cpp:60-62), and gate future re-aligns
+        sj = int(self.seq_id[j])
+        prev = self._seq_align.get(sj)
+        if prev is None:
+            self._seq_align[sj] = (dyaw, dt)
+        else:
+            p_yaw, p_t = prev
+            self._seq_align[sj] = (p_yaw + dyaw, Rz @ p_t + dt)
+        self._seq_anchored.add(sj)
 
     def _gauge_mask(self) -> np.ndarray:
         """Pin the head of every sequence not loop-anchored to an earlier

@@ -25,14 +25,24 @@ def cache_dir() -> str:
     import hashlib
     import platform
     fp = "-".join([platform.machine(), platform.processor() or "cpu"])
+    # hash model name + family/model/stepping + flags (first core): the
+    # flags line alone collided across VM types in practice — XLA:CPU then
+    # loaded foreign AOT entries and produced NON-DETERMINISTIC numerics
+    # (observed: identical runs disagreeing at 1e-1 in the parity probe)
+    sig = []
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
-                    fp += hashlib.sha1(line.encode()).hexdigest()[:8]
+                key = line.split(":")[0].strip()
+                if key in ("model name", "cpu family", "model", "stepping",
+                           "flags"):
+                    sig.append(line.strip())
+                if key == "flags":
                     break
     except OSError:
         pass
+    if sig:
+        fp += hashlib.sha1("\n".join(sig).encode()).hexdigest()[:10]
     return f"/tmp/jax_cache_{fp}"
 
 

@@ -70,7 +70,9 @@ def run_loop_benchmark(duration: float = 90.0, laps: float | None = None,
                        max_features: int = 150,
                        out_prefix: str | None = None,
                        kf_stride: int = 2, verbose: bool = False,
-                       n_corners: int = 300, min_loop_inliers: int = 25) -> dict:
+                       n_corners: int = 300, min_loop_inliers: int = 25,
+                       wiggle: float = 0.0, wiggle_freq: float = 3.0,
+                       n_interior: int = 4000) -> dict:
     """Returns {'ate_vio':…, 'ate_loop':…, 'loops':…} (meters).
 
     laps=None keeps one lap per 10 s (ω̄≈0.63 rad/s). Slower laps starve
@@ -84,7 +86,8 @@ def run_loop_benchmark(duration: float = 90.0, laps: float | None = None,
     fx = 0.6 * width
     cam = cameras.PinholeCamera.create(fx, fx, width / 2.0, height / 2.0,
                                        width=width, height=height)
-    traj = loop_trajectory(duration, laps=laps, radius=radius)
+    traj = loop_trajectory(duration, laps=laps, radius=radius,
+                           wiggle=wiggle, wiggle_freq=wiggle_freq)
     world = render.make_box_world(traj.p, margin=5.0, seed=seed)
     rays = render.camera_rays(cam)
     R_all = np.asarray(lie.quat_to_rot(jnp.asarray(traj.q)))
@@ -102,7 +105,8 @@ def run_loop_benchmark(duration: float = 90.0, laps: float | None = None,
     # results/r3/loop_benchmark*.json
     rng = np.random.default_rng(seed + 13)
     lo, hi = traj.p.min(0) - 4.0, traj.p.max(0) + 4.0
-    lms = np.concatenate([lms_wall, rng.uniform(lo, hi, size=(4000, 3))])
+    lms = np.concatenate([lms_wall,
+                          rng.uniform(lo, hi, size=(n_interior, 3))])
 
     def make_sim():
         return SequenceSimulator(
@@ -261,6 +265,14 @@ if __name__ == "__main__":
     ap.add_argument("--acc-scale", type=float, default=1.0)
     ap.add_argument("--pixel-noise", type=float, default=0.5)
     ap.add_argument("--max-features", type=int, default=150)
+    # explore-and-return regime (loop closure must carry the run): a BIG
+    # slow circle (one lap ≈ a minute → 10× the revisit gap of the default
+    # 10 s circuit) whose IMU excitation comes from the time-domain wiggle
+    # instead of the lap rate
+    ap.add_argument("--radius", type=float, default=3.0)
+    ap.add_argument("--wiggle", type=float, default=0.0)
+    ap.add_argument("--wiggle-freq", type=float, default=3.0)
+    ap.add_argument("--n-interior", type=int, default=4000)
     ap.add_argument("--n-corners", type=int, default=300)
     ap.add_argument("--min-loop-inliers", type=int, default=25)
     ap.add_argument("--json-out", default=None)
@@ -269,14 +281,19 @@ if __name__ == "__main__":
     s = a.imu_noise_scale
     sa, sg = s * a.acc_scale, s * a.gyr_scale
     row = run_loop_benchmark(
-        a.duration, a.laps, width=a.width, height=a.height, seed=a.seed,
+        a.duration, a.laps, radius=a.radius,
+        width=a.width, height=a.height, seed=a.seed,
         pixel_noise=a.pixel_noise,
         imu_acc_sigma=0.25 * sa, imu_gyr_sigma=0.012 * sg,
         imu_acc_bias=0.06 * sa, imu_gyr_bias=0.004 * sg,
         max_features=a.max_features,
         n_corners=a.n_corners, min_loop_inliers=a.min_loop_inliers,
+        wiggle=a.wiggle, wiggle_freq=a.wiggle_freq,
+        n_interior=a.n_interior,
         out_prefix=a.out_prefix, verbose=a.verbose)
     row["imu_noise_scale"] = s
+    row["radius"] = a.radius
+    row["wiggle"] = a.wiggle
     row["gyr_scale"] = a.gyr_scale
     row["acc_scale"] = a.acc_scale
     row["pixel_noise"] = a.pixel_noise

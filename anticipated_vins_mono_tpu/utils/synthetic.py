@@ -240,7 +240,8 @@ def make_window_problem(cfg: WindowConfig,
 def loop_trajectory(duration: float, laps: float = 3.0, radius: float = 3.0,
                     imu_rate: float = 200.0, bob: float = 0.25,
                     wobble: float = 0.12, rate_mod: float = 0.4,
-                    rate_mod_freq: float = 2.0) -> Trajectory:
+                    rate_mod_freq: float = 2.0, wiggle: float = 0.0,
+                    wiggle_freq: float = 3.0) -> Trajectory:
     """Multi-lap circuit with the camera (body +z) looking along the
     direction of travel — the canonical loop-closure scenario: every lap
     revisits the same poses, so place recognition has ground-truth positives
@@ -298,6 +299,29 @@ def loop_trajectory(duration: float, laps: float = 3.0, radius: float = 3.0,
     ddp = np.stack([ddx, ddy, ddz], axis=-1)
     v = dp * th_dot[:, None]
     a = ddp * th_dot[:, None] ** 2 + dp * th_ddot[:, None]
+
+    if wiggle != 0.0:
+        # TIME-domain radial wiggle u(t)·e_r(θ): every θ-based excitation
+        # term above scales with θ̇² and dies on slow laps (the IMU-
+        # degeneracy noted in the docstring) — but slow laps are exactly
+        # the explore-and-return regime loop closure exists for (60 s
+        # revisit gaps vs 10 s). The wiggle keeps specific force finite
+        # independent of lap rate, at the cost of revisits being exact
+        # only up to its amplitude (the loop edge geometry is measured by
+        # PnP, which sees the true relative pose — findConnection parity).
+        #   p += u·e_r,  e_r = (cosθ, sinθ, 0),  ė_r = θ̇·e_t
+        #   v += u̇·e_r + u·θ̇·e_t
+        #   a += (ü − u·θ̇²)·e_r + (2·u̇·θ̇ + u·θ̈)·e_t
+        w = wiggle_freq
+        u = wiggle * np.sin(w * t)
+        du = wiggle * w * np.cos(w * t)
+        ddu = -wiggle * w * w * np.sin(w * t)
+        e_r = np.stack([cth, sth, np.zeros(n)], -1)
+        e_t = np.stack([-sth, cth, np.zeros(n)], -1)
+        p = p + u[:, None] * e_r
+        v = v + du[:, None] * e_r + (u * th_dot)[:, None] * e_t
+        a = a + (ddu - u * th_dot ** 2)[:, None] * e_r \
+            + (2 * du * th_dot + u * th_ddot)[:, None] * e_t
 
     # R_wb(θ) = Rz(θ)·R0 with the camera (+z body) pointing RADIALLY
     # OUTWARD and body y down. Outward-looking matters: along-track (+z =

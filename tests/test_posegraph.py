@@ -224,3 +224,49 @@ def test_sequence_discontinuity_and_alignment():
     graph.optimize()
     assert np.all(np.isfinite(graph.pos[:graph.n]))
     np.testing.assert_allclose(graph.pos[graph.n - 1], [5.0, 0, 0], atol=0.2)
+
+
+def test_alignment_persists_for_later_keyframes():
+    """After a cross-sequence loop aligns sequence 1, keyframes added to
+    that sequence LATER must be re-expressed through the same w_r_vio/
+    w_t_vio transform (pose_graph.cpp:60-62) — otherwise vio-based
+    sequential edges mix aligned and raw endpoints."""
+    cfg = pg.PGOConfig(max_kf=64, max_loops=8, iters=15)
+    graph = pg.PoseGraph(cfg)
+    q = np.array([1.0, 0, 0, 0])
+    for k in range(10):
+        graph.add_keyframe(np.array([k * 1.0, 0, 0.0]), q, t=0.1 * k)
+    # new session restarts its local frame at origin; physically at x=3
+    for k in range(3):
+        graph.add_keyframe(np.array([k * 1.0, 0, 0.0]), q, t=6.0 + 0.1 * k)
+    graph.add_keyframe(np.array([2.0, 0, 0.0]), q,
+                       loop_hint=(5, np.zeros(3), 0.0), t=6.3)
+    # post-loop keyframes arrive in the session's RAW local frame
+    k_post = graph.add_keyframe(np.array([3.0, 0, 0.0]), q, t=6.4)
+    assert k_post is None
+    np.testing.assert_allclose(graph.vio_pos[graph.n - 1], [6.0, 0, 0],
+                               atol=1e-9)
+    # the vio-based sequential edge spanning the alignment moment must
+    # encode the true 1 m step, not the 3 m alignment jump
+    hits = [e for e in range(graph.n_seq)
+            if graph.seq_j[e] == graph.n - 1
+            and graph.seq_i[e] == graph.n - 2]
+    assert hits
+    np.testing.assert_allclose(graph.seq_t[hits[0]], [1.0, 0, 0], atol=1e-9)
+    # a second cross-sequence loop must NOT re-align (sequence_loop gate)
+    pos_before = graph.pos[:graph.n].copy()
+    graph.add_keyframe(np.array([4.0, 0, 0.0]), q,
+                       loop_hint=(7, np.zeros(3), 0.0), t=6.5)
+    np.testing.assert_allclose(graph.pos[:len(pos_before) - 0][:graph.n - 1],
+                               pos_before, atol=1e-9)
+
+
+def test_new_sequence_resets_drift():
+    """new_sequence() zeroes yaw/t drift (pose_graph.cpp:47-56): an
+    unrelated stream must not inherit the previous sequence's correction."""
+    graph = pg.PoseGraph(pg.PGOConfig(max_kf=32, max_loops=4, iters=10))
+    graph.yaw_drift = 12.0
+    graph.t_drift = np.array([1.0, 2.0, 3.0])
+    graph.new_sequence()
+    assert graph.yaw_drift == 0.0
+    np.testing.assert_allclose(graph.t_drift, 0.0)
