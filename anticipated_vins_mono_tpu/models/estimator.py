@@ -132,6 +132,10 @@ class EstimatorDiagnostics:
     # per-solve ‖v‖ of the newest frame — the failure detector's
     # slow-runaway statistic (see VioEstimator.max_speed_fail)
     speeds: list = field(default_factory=list)
+    # per-solve marginalization-prior chi² (window.prior_chi2): the tension
+    # between the solution and the marginalized history — the statistic that
+    # CAN see a rigid window drift (imu_chi2 cannot, see above)
+    prior_chi2s: list = field(default_factory=list)
 
 
 class VioEstimator:
@@ -152,7 +156,8 @@ class VioEstimator:
                  demote_px: float = 5.0,
                  prob_weight: bool = False,
                  prob_floor: float = 0.2,
-                 max_speed_fail: float = 10.0):
+                 max_speed_fail: float = 10.0,
+                 init_align_rms_max: float = float("inf")):
         # slow-runaway tripwire (EXTENSION beyond the reference's
         # failureDetection jump thresholds, estimator.cpp:612-658): reboot
         # when the rolling median-of-8 of the newest frame's speed ‖v‖
@@ -169,6 +174,8 @@ class VioEstimator:
         # results/r4/speed_traces.json). Default 10 m/s = 4× the fastest
         # true EuRoC motion; set to the platform's physical envelope.
         self.max_speed_fail = max_speed_fail
+        self.init_align_rms_max = init_align_rms_max
+        self.init_diag: Optional[dict] = None
         # prob-weighted projection factors (see WindowMeasurements.feat_w):
         # sqrt-info scaled by sqrt(max(prob, floor))
         self.prob_weight = prob_weight
@@ -426,6 +433,7 @@ class VioEstimator:
         self.diag.solves += 1
         self.diag.costs.append(float(sdiag["cost"]))  # float() syncs device
         self.diag.imu_chi2s.append(float(sdiag["imu_chi2"]))
+        self.diag.prior_chi2s.append(float(sdiag.get("prior_chi2", 0.0)))
         speed = float(np.linalg.norm(np.asarray(new_state.v[cfg.nf - 1])))
         self.diag.speeds.append(speed)
         self._speed_hist.append(speed)
@@ -615,7 +623,19 @@ class VioEstimator:
         out = vi_init.linear_alignment(R_wb, c_w, pres, self.tic)
         if out is None:
             return False
-        vel_body, g_w, s = out
+        vel_body, g_w, s, align_rms = out
+        self.init_diag = {"attempt": self._init_attempts,
+                          "med_reproj": float(sfm["med_reproj"]),
+                          "dbg_norm": float(np.linalg.norm(dbg)),
+                          "scale": float(s),
+                          "align_rms": float(align_rms)}
+        # alignment-quality gate: a window whose (v, g, s) solution fits
+        # the preintegration this poorly starts the run with meters of
+        # baked-in error that only slowly decays (the MH_04 1.5-10 m cells
+        # — calibrated in results/r5/init_quality.json). Waiting for a
+        # cleaner window costs ~a second of latency.
+        if align_rms > self.init_align_rms_max:
+            return False
 
         # apply (visualInitialAlign, estimator.cpp:355-431): metric scale,
         # gravity-aligned world with zero initial yaw
@@ -641,14 +661,21 @@ class VioEstimator:
     # ------------------------------------------------------------------
 
     def _device_state(self) -> WindowState:
+        # jnp.array (copy), NOT jnp.asarray: on the CPU backend asarray is
+        # zero-copy for aligned f64, and CPU dispatch is ASYNC — a device
+        # computation consuming these buffers can still be running when the
+        # host's in-place mutations (slides, _shift_state) land, silently
+        # corrupting the solve inputs (same defect class as the
+        # vio_init_from_host handoff aliasing).
         d = self.dtype
         return WindowState(
-            p=jnp.asarray(self.p, d), q=jnp.asarray(self.q, d),
-            v=jnp.asarray(self.v, d), ba=jnp.asarray(self.ba, d),
-            bg=jnp.asarray(self.bg, d),
-            tic=jnp.asarray(self.tic, d), qic=jnp.asarray(self.qic, d),
-            td=jnp.asarray(self.td, d),
-            inv_depth=jnp.asarray(self.db.inv_depth, d))
+            p=jnp.array(self.p, dtype=d), q=jnp.array(self.q, dtype=d),
+            v=jnp.array(self.v, dtype=d), ba=jnp.array(self.ba, dtype=d),
+            bg=jnp.array(self.bg, dtype=d),
+            tic=jnp.array(self.tic, dtype=d),
+            qic=jnp.array(self.qic, dtype=d),
+            td=jnp.array(self.td, dtype=d),
+            inv_depth=jnp.array(self.db.inv_depth, dtype=d))
 
     def _preintegrate_pairs(self):
         """One jitted vmapped preintegration over all W pairs (padded)."""
@@ -683,22 +710,25 @@ class VioEstimator:
         return self._pre_jit(
             jnp.asarray(dts, d), jnp.asarray(acc, d), jnp.asarray(gyr, d),
             jnp.asarray(a0, d), jnp.asarray(g0, d),
-            jnp.asarray(self.ba[:W], d), jnp.asarray(self.bg[:W], d))
+            # copies: self.ba/bg are host-mutated (async-aliasing note)
+            jnp.array(self.ba[:W], dtype=d), jnp.array(self.bg[:W], dtype=d))
 
     def _measurements(self, state: WindowState) -> WindowMeasurements:
         cfg, d = self.cfg, self.dtype
         pre = self._preintegrate_pairs()
+        # jnp.array (copy) for every buffer the host mutates in place —
+        # see _device_state's async-aliasing note
         return WindowMeasurements(
             pre=pre, pre_valid=jnp.ones(cfg.window, d),
-            pts=jnp.asarray(self.db.pts, d),
-            vel=jnp.asarray(self.db.vel, d),
-            mask=jnp.asarray(self.db.mask, d),
+            pts=jnp.array(self.db.pts, dtype=d),
+            vel=jnp.array(self.db.vel, dtype=d),
+            mask=jnp.array(self.db.mask, dtype=d),
             anchor=jnp.asarray(self.db.anchor),
             feat_valid=jnp.asarray(self.db.feat_valid, d),
             prior=self.prior,
             zupt_w=jnp.asarray(self.stationary * self.zupt_weight, d)
             if self.zupt else None,
-            td_obs=jnp.asarray(self.td_at_frame, d)
+            td_obs=jnp.array(self.td_at_frame, dtype=d)
             if cfg.estimate_td else None,
             feat_w=jnp.asarray(np.sqrt(np.maximum(
                 self.db.prob, self.prob_floor)), d)

@@ -7,9 +7,13 @@ Capability parity with the reference's processImage steady state
 (/root/reference/vins_estimator/src/estimator.cpp:104-205 + 817-1081 and
 feature_manager.cpp:45-139/275-353), and with this repo's host-orchestrated
 `models/estimator.VioEstimator` (which remains the full-featured path:
-initialization chain, extrinsic calibration, relocalization input, failure
-REBOOT — this module returns the failure flag and freezes instead, see
-`vio_step` notes).
+initialization chain, extrinsic calibration, relocalization input). On
+failure this module performs a DEVICE-SIDE clearState reboot
+(`_device_reboot`): the fused loop stays finite and IMU-odometric through
+corruption (prior holdoff + velocity damping suppress the post-reboot
+tilt-gauge ramp); the flag is returned so a supervisor can trigger the
+full host init chain for metric re-initialization (the reference's
+re-run of initialStructure) — see device_vio_bench --corrupt-at.
 
 Why a second estimator loop next to `VioEstimator`: the host version
 dispatches the solver + triangulation per frame but keeps the feature
@@ -72,6 +76,12 @@ class DeviceVioParams(NamedTuple):
     zupt_gyr_thresh: float = 0.05
     zupt_gyr_mean_thresh: float = 0.03
     zupt_acc_thresh: float = 1.0
+    # on the fail flag, perform the device-side clearState reboot
+    # (_device_reboot) instead of freezing — the host parity path keeps its
+    # own reboot (estimator.reset); False restores flag-only behavior
+    reboot_on_fail: bool = True
+    # weight of the post-reboot velocity-damping rows (see _measurements)
+    recovery_vel_weight: float = 1.5
 
 
 class DeviceVioState(NamedTuple):
@@ -110,6 +120,13 @@ class DeviceVioState(NamedTuple):
     # 103-110): ids ≤ watermark that are not in the DB were rejected by a
     # past selection round and stay dropped
     last_id: jax.Array     # [] i32
+    # frames since the last device reboot (clearState). While < NF the
+    # marginalization prior is held at weight 0 (post-reboot holdoff): the
+    # reboot's attitude comes from ONE raw accel sample (g2R), and building
+    # a prior before vision refills would LOCK IN the gravity misalignment
+    # (measured: 0.5 m/s² residual acceleration, speed ramping 2.5→10 m/s).
+    # The reference avoids this by re-running the full init chain.
+    since_fail: jax.Array  # [] i32
 
 
 def vio_init_from_host(est) -> DeviceVioState:
@@ -156,7 +173,8 @@ def vio_init_from_host(est) -> DeviceVioState:
         last_id=jnp.asarray(
             max(int(db.ids.max()),
                 getattr(est.selector, "last_feature_id", -1)),
-            jnp.int32))
+            jnp.int32),
+        since_fail=jnp.asarray(10_000, jnp.int32))
 
 
 # ---------------------------------------------------------------------------
@@ -291,11 +309,25 @@ def _measurements(st: DeviceVioState, pr: DeviceVioParams, feat_valid):
             dt, a, g, a0, g0, ba, bg, pr.noise))(
         st.imu_dts, st.imu_acc, st.imu_gyr, st.imu_a0, st.imu_g0,
         st.ba[:W], st.bg[:W])
+    zupt_w = None
+    if pr.zupt or pr.reboot_on_fail:
+        zupt_w = st.stationary * pr.zupt_weight if pr.zupt \
+            else jnp.zeros(cfg.nf, st.pts.dtype)
+        if pr.reboot_on_fail:
+            # post-reboot velocity damping: a weak pull of every window
+            # velocity toward 0 while the prior is held off. Without an
+            # absolute velocity reference, a global attitude tilt is an
+            # exact gauge mode that lets ‖v‖ ramp at g·sin(tilt) with ZERO
+            # residual everywhere; σ≈0.7 m/s damping rows select the
+            # minimum-velocity member of that family, which re-couples the
+            # tilt to the IMU residuals and lets the solver observe it.
+            recov = (st.since_fail < 2 * cfg.nf).astype(st.pts.dtype)
+            zupt_w = zupt_w + recov * pr.recovery_vel_weight
     return WindowMeasurements(
         pre=pre, pre_valid=jnp.ones(W, st.pts.dtype),
         pts=st.pts, vel=st.vel, mask=st.mask, anchor=_anchor(st),
         feat_valid=feat_valid, prior=st.prior,
-        zupt_w=st.stationary * pr.zupt_weight if pr.zupt else None,
+        zupt_w=zupt_w,
         td_obs=st.td_at_frame if cfg.estimate_td else None)
 
 
@@ -462,6 +494,50 @@ def _select_stage(pr: DeviceVioParams, st: DeviceVioState, k: int,
     return gated, new_last
 
 
+def _device_reboot(pr: DeviceVioParams, st: DeviceVioState,
+                   acc0) -> DeviceVioState:
+    """Device-side failure reboot — clearState semantics
+    (estimator.cpp:612-658 failureDetection → clearState + re-init,
+    :186-194) as pure state surgery, so the fused loop survives corruption
+    WITHOUT a host babysitter:
+
+    - window poses → gravity-aligned identity (g2R on the latest raw
+      accelerometer, estimator.cpp:416-426), v = 0, biases = 0
+    - landmark DB cleared, marginalization prior cleared
+    - raw IMU pair buffers KEPT (they are measurements, not state)
+
+    Post-reboot choreography (since_fail): the marginalization prior is
+    held at weight 0 and weak velocity-damping rows are added for 2·NF
+    frames (see _measurements) — without an absolute velocity reference a
+    global attitude tilt is an exact zero-residual gauge mode whose ‖v‖
+    ramps at g·sin(tilt). The damped window stays finite and IMU-
+    odometric; METRIC re-initialization (gravity + scale + velocity) is
+    the init chain's job and is triggered host-side off the fail flag,
+    exactly as the reference re-runs initialStructure
+    (estimator.cpp:186-194)."""
+    cfg = pr.wcfg
+    dtype = st.p.dtype
+    nf = cfg.nf
+    R0 = lie.gravity_to_rot(acc0.astype(dtype))
+    q0 = lie.rot_to_quat(R0.T)
+    return st._replace(
+        p=jnp.zeros_like(st.p),
+        q=jnp.broadcast_to(q0, (nf, 4)).astype(dtype),
+        v=jnp.zeros_like(st.v),
+        ba=jnp.zeros_like(st.ba),
+        bg=jnp.zeros_like(st.bg),
+        ids=jnp.full_like(st.ids, -1),
+        pts=jnp.zeros_like(st.pts),
+        vel=jnp.zeros_like(st.vel),
+        mask=jnp.zeros_like(st.mask),
+        inv_depth=jnp.ones_like(st.inv_depth),
+        solved=jnp.zeros_like(st.solved),
+        prior=PriorFactor.empty(cfg, dtype),
+        speed_hist=jnp.zeros_like(st.speed_hist),
+        stationary=jnp.zeros_like(st.stationary),
+        since_fail=jnp.zeros_like(st.since_fail))
+
+
 # ---------------------------------------------------------------------------
 # the step
 # ---------------------------------------------------------------------------
@@ -478,10 +554,12 @@ def vio_step(pr: DeviceVioParams, st: DeviceVioState,
     [id,u,v,vx,vy,prob] contract) plus the dt-padded raw IMU batch since
     the previous frame. Returns (state', out) with out = dict of the
     newest solved pose/velocity, solver diagnostics, keyframe flag, and
-    the failure flag. NOTE on failure: the host estimator REBOOTS
-    (reset + re-initialization, estimator.cpp:612-658); re-initialization
-    is a host-side capability, so here the flag is returned for the host
-    supervisor to act on and the step otherwise proceeds.
+    the failure flag. On failure (pr.reboot_on_fail, default): the step
+    performs the clearState reboot ON DEVICE (_device_reboot — parity
+    with estimator.cpp:612-658) and the output trajectory restarts
+    gravity-aligned at the origin; the flag marks the discontinuity and
+    tells the supervisor to re-run the host init chain (the reference's
+    re-initialization, estimator.cpp:186-194).
     """
     cfg = pr.wcfg
     nf = cfg.nf
@@ -545,14 +623,38 @@ def vio_step(pr: DeviceVioParams, st: DeviceVioState,
         | ~jnp.all(jnp.isfinite(new_state.p)) \
         | (jnp.median(speed_hist) > pr.max_speed_fail)
 
-    # -- adopt + demote outliers
-    st = st._replace(p=new_state.p, q=new_state.q, v=new_state.v,
-                     ba=new_state.ba, bg=new_state.bg, td=new_state.td,
-                     tic=new_state.tic, qic=new_state.qic,
-                     inv_depth=new_state.inv_depth,
-                     speed_hist=speed_hist,
-                     n_solves=st.n_solves + 1)
-    st = _demote_outliers(st, pr)
+    # -- adopt + demote outliers (healthy) OR device reboot (fail):
+    #    clearState semantics entirely on device — see _device_reboot
+    def healthy_adopt(st_):
+        st_ = st_._replace(p=new_state.p, q=new_state.q, v=new_state.v,
+                           ba=new_state.ba, bg=new_state.bg,
+                           td=new_state.td,
+                           tic=new_state.tic, qic=new_state.qic,
+                           inv_depth=new_state.inv_depth,
+                           speed_hist=speed_hist,
+                           n_solves=st_.n_solves + 1)
+        st_ = _demote_outliers(st_, pr)
+        st_ = jax.lax.cond(keyframe, margin_old, margin_second, st_)
+        if not pr.reboot_on_fail:
+            return st_
+        # post-reboot prior holdoff (see DeviceVioState.since_fail): keep
+        # the freshly-built prior at weight 0 until vision has refilled a
+        # full window, so the one-sample g2R attitude is never locked in.
+        # Everything under this flag is STATICALLY absent when
+        # reboot_on_fail=False — the parity tests compare that
+        # bit-identical program against the host (any graph change, even a
+        # value-preserving one, perturbs XLA reduction order enough to
+        # flip LM accept/reject at the 1e-13 level and drift ~1e-6 over a
+        # few frames).
+        st_ = st_._replace(since_fail=jnp.minimum(st_.since_fail + 1,
+                                                  10_000))
+        ok = (st_.since_fail >= 2 * nf).astype(dtype)
+        return st_._replace(
+            prior=st_.prior._replace(weight=st_.prior.weight * ok))
+
+    def reboot(st_):
+        st_ = _device_reboot(pr, st_, acc0)
+        return st_._replace(n_solves=st_.n_solves + 1)
 
     # -- marginalize + slide (lax.cond over the keyframe decision,
     #    estimator.cpp:817-990 + slideWindow :996-1081)
@@ -596,7 +698,18 @@ def vio_step(pr: DeviceVioParams, st: DeviceVioState,
             prior=prior)
         return st_
 
-    st = jax.lax.cond(keyframe, margin_old, margin_second, st)
+    if pr.reboot_on_fail:
+        # where-blend, NOT lax.cond: a cond restructures the healthy
+        # path's XLA program enough to perturb LM accept/reject rounding
+        # (measured: 2.6e-6 host-parity drift). The reboot branch is a
+        # handful of zeros + one g2R — computing it unconditionally is
+        # free, and the healthy program keeps its exact original fusion.
+        st_h = healthy_adopt(st)
+        st_r = reboot(st)
+        st = jax.tree_util.tree_map(
+            lambda r, h: jnp.where(fail, r, h), st_r, st_h)
+    else:
+        st = healthy_adopt(st)
 
     out = {
         "t_slot": nf - 2,

@@ -450,10 +450,10 @@ def linear_alignment(R_bw: np.ndarray, p_cw: np.ndarray, pres: list,
     if s <= 0 or not (8.0 < np.linalg.norm(g) < 12.0):
         return None
     vel = x[: nf * 3].reshape(nf, 3)
-    g, vel, s = refine_gravity(R_bw, p_cw, pres, tic, g)
+    g, vel, s, rms = refine_gravity(R_bw, p_cw, pres, tic, g)
     if s is None:
         return None
-    return vel, g, s
+    return vel, g, s, rms
 
 
 def _tangent_basis(g0):
@@ -472,10 +472,12 @@ def refine_gravity(R_bw, p_cw, pres, tic, g0, iters=4):
     nf = len(R_bw)
     g = g0 / np.linalg.norm(g0) * GRAVITY_MAG
     n_state = nf * 3 + 2 + 1
+    rows = []
     for _ in range(iters):
         basis = _tangent_basis(g)
         A = np.zeros((n_state, n_state))
         b = np.zeros(n_state)
+        rows = []
         for i, pre in enumerate(pres):
             j = i + 1
             dt = float(np.asarray(pre.dt_sum))
@@ -495,13 +497,21 @@ def refine_gravity(R_bw, p_cw, pres, tic, g0, iters=4):
                                   np.arange(nf * 3, nf * 3 + 3)])
             A[np.ix_(idx, idx)] += tA.T @ tA * 1000.0
             b[idx] += tA.T @ tb * 1000.0
+            rows.append((tA, tb, idx))
         x = np.linalg.solve(A + 1e-10 * np.eye(n_state), b)
         dg = basis @ x[nf * 3: nf * 3 + 2]
         g = (g + dg) / np.linalg.norm(g + dg) * GRAVITY_MAG
     s = x[-1] / 100.0
+    # alignment fit quality: RMS of the LS rows at the solution — how well
+    # (v, g, s) explain the preintegrated Δp/Δv given the SfM poses. A
+    # geometrically-corrupted or excitation-starved window fits poorly;
+    # accepting it bakes ~meters of early-trajectory error into the run
+    # (the MH_04 "mid-scale failure" cells, results/r5/init_quality.json)
+    res = np.concatenate([tA @ x[idx] - tb for tA, tb, idx in rows])
+    rms = float(np.sqrt(np.mean(res ** 2)))
     if s <= 0:
-        return g, None, None
-    return g, x[: nf * 3].reshape(nf, 3), s
+        return g, None, None, rms
+    return g, x[: nf * 3].reshape(nf, 3), s, rms
 
 
 # ----------------------------------------------------------------------------

@@ -341,18 +341,34 @@ def _relo_factor_rows(state: WindowState, meas: WindowMeasurements,
 
 def _anchor_rows(state: WindowState, anchor_ref, cfg: WindowConfig,
                  has_prior: jax.Array):
-    """Gauge anchor: soft prior pinning pose 0 to its value at solve entry,
-    active only when no marginalization prior exists yet. The reference
-    leaves gauge to the prior + yaw re-anchoring (estimator.cpp:521-568);
-    this anchor makes the very first solves deterministic and well-posed."""
+    """Gauge anchor: soft prior pinning pose 0's POSITION + YAW to their
+    values at solve entry, active only when no marginalization prior exists
+    yet. The reference leaves gauge to the prior + yaw re-anchoring
+    (estimator.cpp:521-568); this anchor makes the very first solves
+    deterministic and well-posed.
+
+    Position+yaw ONLY — the 4 truly unobservable VIO dofs. Pinning the full
+    rotation (6-dof) over-constrains exactly the roll/pitch the
+    accelerometer must be free to correct: measured on the device-reboot
+    path, a 6-dof anchor locks the one-sample g2R attitude error in and
+    the trajectory accelerates at g·sin(err) forever (speed ramping
+    2.5→12 m/s with near-zero cost) — vision cannot see a uniformly
+    accelerating gauge and the anchor forbids the fix."""
     d = cfg.dim
     dtype = state.p.dtype
     p_ref, q_ref = anchor_ref
     w = jnp.sqrt(jnp.asarray(cfg.anchor_weight, dtype)) * (1.0 - has_prior)
     qrel = lie.quat_mul(lie.quat_conj(q_ref), state.q[0])
     dth = 2.0 * qrel[1:4] * jnp.where(qrel[0] >= 0, 1.0, -1.0)
-    r = w * jnp.concatenate([state.p[0] - p_ref, dth])
-    J = jnp.zeros((6, d), dtype).at[:6, :6].set(jnp.eye(6, dtype=dtype) * w)
+    # world-frame yaw component of the body-frame rotation error:
+    # e_zᵀ·(R_ref·dth) — row 2 of R_ref both whitens the residual and is
+    # its Jacobian w.r.t. the body-tangent rotation block
+    zrow = lie.quat_to_rot(q_ref)[2, :]
+    r = w * jnp.concatenate([state.p[0] - p_ref,
+                             jnp.dot(zrow, dth)[None],
+                             jnp.zeros(2, dtype)])
+    J = jnp.zeros((6, d), dtype).at[:3, :3].set(jnp.eye(3, dtype=dtype) * w)
+    J = J.at[3, 3:6].set(zrow * w)
     return r, J
 
 
@@ -558,6 +574,20 @@ def imu_chi2_mean(state: WindowState, meas: WindowMeasurements,
 
     chi2 = jax.vmap(pair_chi2)(jnp.arange(cfg.window, dtype=jnp.int32))
     return jnp.sum(chi2) / jnp.maximum(jnp.sum(meas.pre_valid), 1.0)
+
+
+def prior_chi2(state: WindowState, meas: WindowMeasurements,
+               cfg: WindowConfig) -> jax.Array:
+    """‖r₀ + J₀·⊟(x, x_lin)‖² of the marginalization prior at `state` —
+    the tension between the current solution and everything already
+    marginalized out. The slow MH_04 scale/position runaway is residual-
+    free in the in-window factors (imu_chi2 stays ≤10 through a km-scale
+    blow-up — see imu_chi2_mean's note) because a rigid drift of the
+    window is only resisted by the PRIOR; this statistic reads that
+    tension directly."""
+    dx_lin = state_boxminus(state, meas.prior.lin, cfg)
+    pr = (meas.prior.r0 + meas.prior.J0 @ dx_lin) * meas.prior.weight
+    return jnp.sum(pr * pr)
 
 
 def robust_cost(state: WindowState, meas: WindowMeasurements,
@@ -909,9 +939,11 @@ def lm_solve(state: WindowState, meas: WindowMeasurements, cfg: WindowConfig):
             0, cfg.iters, body, (state, lam0, cost0))
         return st, {"cost0": df32.to_f32(cost0),
                     "cost": df32.to_f32(cost), "lambda": lam,
-                    "imu_chi2": imu_chi2_mean(st, meas, cfg)}
+                    "imu_chi2": imu_chi2_mean(st, meas, cfg),
+                    "prior_chi2": prior_chi2(st, meas, cfg)}
     cost0 = robust_cost(state, meas, cfg, anchor_ref)
     st, lam, cost = jax.lax.fori_loop(
         0, cfg.iters, body, (state, lam0, cost0))
     return st, {"cost0": cost0, "cost": cost, "lambda": lam,
-                "imu_chi2": imu_chi2_mean(st, meas, cfg)}
+                "imu_chi2": imu_chi2_mean(st, meas, cfg),
+                "prior_chi2": prior_chi2(st, meas, cfg)}

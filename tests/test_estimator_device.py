@@ -35,6 +35,12 @@ def test_device_vio_matches_host():
     dst = ed.vio_init_from_host(est)
     pr = ed.DeviceVioParams(wcfg=CFG)
     n_check = 14
+    # tolerance note: host and device run the SAME math in two SEPARATELY
+    # jitted programs — XLA fuses them differently, so f64 reduction-order
+    # noise (~1e-13/frame) enters and the LM accept/reject chaos amplifies
+    # it to ~1e-5 over 14 frames. Semantic parity bugs measure 1e-2+ here
+    # (the r4 aliasing corruption was 6.5e-2 on frame 1); 1e-4 cleanly
+    # separates the two regimes. The DB plumbing below stays EXACT.
     for fm in frames[i:i + n_check]:
         est.process_frame(fm)
         args = ed.pack_frame(fm, CFG.max_feats)
@@ -42,16 +48,16 @@ def test_device_vio_matches_host():
         assert not bool(out["fail"])
         t, p_host, q_host, v_host = est.trajectory[-1]
         np.testing.assert_allclose(np.asarray(out["p"]), p_host,
-                                   rtol=0, atol=1e-6)
+                                   rtol=0, atol=1e-4)
         np.testing.assert_allclose(np.asarray(out["v"]), v_host,
-                                   rtol=0, atol=1e-6)
+                                   rtol=0, atol=1e-4)
     # full window-state parity after n_check frames (slot NF-1 is
     # scratch — overwritten next frame — so compare 0..NF-2)
     nf1 = CFG.nf - 1
     np.testing.assert_allclose(np.asarray(dst.p[:nf1]), est.p[:nf1],
-                               rtol=0, atol=1e-5)
+                               rtol=0, atol=1e-3)
     np.testing.assert_allclose(np.asarray(dst.ba[:nf1]), est.ba[:nf1],
-                               rtol=0, atol=1e-5)
+                               rtol=0, atol=1e-3)
     # landmark DB parity: same live slots, same depths
     np.testing.assert_array_equal(np.asarray(dst.ids), est.db.ids)
     np.testing.assert_allclose(np.asarray(dst.mask), est.db.mask, atol=0)
@@ -148,3 +154,43 @@ def test_device_vio_with_selector_budget():
         assert not bool(out["fail"])
         assert len(admitted) <= 12, admitted
     assert np.isfinite(float(out["cost"]))
+
+
+def test_device_reboot_bounds_corruption():
+    """Injected mid-run state corruption must trip the failure detector and
+    the DEVICE-side clearState reboot (_device_reboot, estimator.cpp:612-658
+    parity) must bound the damage: state stays finite, the trajectory
+    restarts near the origin (clearState semantics), and the post-reboot
+    velocity stays bounded (the prior holdoff + velocity damping suppress
+    the tilt-gauge velocity ramp). Full metric re-initialization is the
+    host init chain's job — the streaming harness re-runs it on the flag
+    (device_vio_bench --corrupt-at), exactly as the reference's estimator
+    thread re-runs initialStructure."""
+    est, frames, i = _handoff(n_seconds=14.0)
+    dst = ed.vio_init_from_host(est)
+    pr = ed.DeviceVioParams(wcfg=CFG)
+
+    # healthy run-in
+    for fm in frames[i:i + 4]:
+        dst, out = ed.vio_step(pr, dst, *ed.pack_frame(fm, CFG.max_feats))
+        assert not bool(out["fail"])
+
+    # corrupt the carry: +30 m/s velocity (the speed tripwire's regime)
+    dst = dst._replace(v=dst.v + 30.0, p=dst.p + 50.0)
+
+    fails, ps, speeds = [], [], []
+    for fm in frames[i + 4:i + 30]:
+        dst, out = ed.vio_step(pr, dst, *ed.pack_frame(fm, CFG.max_feats))
+        fails.append(bool(out["fail"]))
+        ps.append(np.asarray(out["p"]))
+        speeds.append(float(out["speed"]))
+    assert any(fails[:8]), "corruption never tripped the failure detector"
+    k_fail = fails.index(True)
+    ps = np.stack(ps)
+    assert np.all(np.isfinite(ps))
+    assert np.all(np.isfinite(np.asarray(dst.p)))
+    # post-reboot trajectory restarts near the origin (clearState parity)
+    assert np.linalg.norm(ps[k_fail + 1]) < 5.0, ps[k_fail + 1]
+    # the velocity-damped holdoff suppresses the 30 m/s corruption: the
+    # post-reboot speeds stay an order of magnitude below it
+    assert max(speeds[k_fail + 1:]) < 12.0, max(speeds[k_fail + 1:])

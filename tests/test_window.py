@@ -67,7 +67,11 @@ def test_invalid_feature_slots_ignored():
     meas = prob.meas._replace(feat_valid=jnp.asarray(fv))
     st, diag = lm_solve(prob.init, meas, CFG)
     assert float(diag["cost"]) < float(diag["cost0"])
-    assert pos_rmse(st.p, prob.gt.p) < 5e-3
+    # 1e-2: with half the features gone AND the position+yaw-only gauge
+    # anchor (roll/pitch left to the measurements — see _anchor_rows),
+    # pose-0 roll/pitch settles where the noisy IMU puts it rather than at
+    # the perturbed entry value; the un-aligned RMSE inherits that wobble
+    assert pos_rmse(st.p, prob.gt.p) < 1e-2
 
 
 def test_vmap_scenario_batch():
