@@ -157,7 +157,9 @@ class VioEstimator:
                  prob_weight: bool = False,
                  prob_floor: float = 0.2,
                  max_speed_fail: float = 10.0,
-                 init_align_rms_max: float = float("inf")):
+                 init_align_rms_max: float = float("inf"),
+                 adaptive_speed_ratio: float = 2.0,
+                 adaptive_speed_floor: float = 4.0):
         # slow-runaway tripwire (EXTENSION beyond the reference's
         # failureDetection jump thresholds, estimator.cpp:612-658): reboot
         # when the rolling median-of-8 of the newest frame's speed ‖v‖
@@ -176,6 +178,9 @@ class VioEstimator:
         self.max_speed_fail = max_speed_fail
         self.init_align_rms_max = init_align_rms_max
         self.init_diag: Optional[dict] = None
+        # self-calibrating tripwire (see _failure); ratio 0 disables
+        self.adaptive_speed_ratio = adaptive_speed_ratio
+        self.adaptive_speed_floor = adaptive_speed_floor
         # prob-weighted projection factors (see WindowMeasurements.feat_w):
         # sqrt-info scaled by sqrt(max(prob, floor))
         self.prob_weight = prob_weight
@@ -769,6 +774,25 @@ class VioEstimator:
         if len(self._speed_hist) == 8 and \
                 float(np.median(self._speed_hist)) > self.max_speed_fail:
             return True
+        # SELF-CALIBRATING tripwire for the mid-scale (1.5-10 m) drift
+        # mode: the MH_04 event forensics (results/r5/event_trace_s1.json)
+        # show the tilt-gauge velocity ramp reaching 2-5× the run's OWN
+        # recent speed envelope while staying under any platform-safe
+        # absolute ceiling (peak 3.8-5.2 m/s vs the 10 m/s wire; true
+        # MH_04 motion peaks 3.4). A fixed threshold cannot separate those
+        # without dataset tuning — the run's own history can: trip when
+        # the rolling median exceeds adaptive_speed_ratio × the 95th
+        # percentile of the PREVIOUS few hundred solves (floor
+        # adaptive_speed_floor so quiet hover phases don't hair-trigger).
+        if self.adaptive_speed_ratio and len(self._speed_hist) == 8 \
+                and len(self.diag.speeds) > 160:
+            # reference excludes the last 8 s so a slow ramp cannot
+            # launder itself into its own baseline
+            ref = float(np.percentile(self.diag.speeds[-600:-80], 95))
+            thresh = max(self.adaptive_speed_ratio * ref,
+                         self.adaptive_speed_floor)
+            if float(np.median(self._speed_hist)) > thresh:
+                return True
         return False
 
     def _reject_outliers(self, demote_px: float = None):

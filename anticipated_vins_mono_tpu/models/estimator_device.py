@@ -241,9 +241,25 @@ def _db_add_frame(st: DeviceVioState, k: int, in_ids, in_pts, in_vel,
     is_new = in_active & ~matched_in
     rank_new = jnp.cumsum(is_new) - 1                        # [N]
     free = ~occupied
-    rank_free = jnp.cumsum(free) - 1                         # [F]
-    fill = free[:, None] & is_new[None, :] \
-        & (rank_free[:, None] == rank_new[None, :])          # [F,N]
+    # junk eviction (FeatureDB._alloc parity): when free slots run out,
+    # occupied slots with no observation in the previous frame and <2
+    # total observations are fair game — dead 1-obs tracks can never
+    # become factors and otherwise stall allocation for ~NF slides after
+    # a tracker dropout frame. Allocation order = all free slots (by
+    # index), then junk slots (by index) — the host's loop order.
+    junk = occupied & (st.mask[:, k - 1] <= 0) \
+        & (jnp.sum(st.mask, axis=1) < 2)
+    avail = free | junk
+    F_ = st.ids.shape[0]
+    arange_f = jnp.arange(F_)
+    key = jnp.where(avail,
+                    jnp.where(free, arange_f, F_ + arange_f),
+                    2 * F_ + arange_f)
+    order = jnp.argsort(key)
+    rank_avail = jnp.zeros(F_, jnp.int32).at[order].set(
+        jnp.arange(F_, dtype=jnp.int32))
+    fill = avail[:, None] & is_new[None, :] \
+        & (rank_avail[:, None] == rank_new[None, :])         # [F,N]
     fills = jnp.any(fill, axis=1)
     fill_idx = jnp.argmax(fill, axis=1)
 
@@ -718,6 +734,8 @@ def vio_step(pr: DeviceVioParams, st: DeviceVioState,
         "imu_chi2": sdiag["imu_chi2"],
         "keyframe": keyframe, "fail": fail, "speed": speed,
         "tracked": tracked,
+        "n_live": jnp.sum(st.ids >= 0),
+        "n_solved": jnp.sum(st.solved > 0),
     }
     return st, out
 

@@ -56,7 +56,7 @@ class FeatureDB:
         for fid, (pt, vel, prob) in feats.items():
             slot = self._find(fid)
             if slot < 0:
-                slot = self._alloc(fid)
+                slot = self._alloc(fid, frame_idx)
                 if slot < 0:
                     continue  # DB full — drop (reference list is unbounded)
             else:
@@ -91,11 +91,26 @@ class FeatureDB:
         hit = np.nonzero(self.ids == fid)[0]
         return int(hit[0]) if hit.size else -1
 
-    def _alloc(self, fid: int) -> int:
+    def _alloc(self, fid: int, frame_idx: int = 0) -> int:
         free = np.nonzero(self.ids < 0)[0]
-        if not free.size:
-            return -1
-        s = int(free[0])
+        if free.size:
+            s = int(free[0])
+        else:
+            # DB full: evict a JUNK slot — a track not observed in the
+            # previous frame with <2 total observations can never become a
+            # factor (the tracker cannot revisit a lost id), it is pure
+            # slot waste. Without eviction, one tracker dropout frame
+            # (LK dip) fills every slot with dead 1-obs tracks that take
+            # ~NF slides to GC, and track continuity never rebuilds
+            # (measured: tracked count decays 12→1 while the tracker
+            # itself reports 120+ stable ids — the SfM init starves).
+            junk = np.nonzero(
+                (self.ids >= 0)
+                & (self.mask[:, max(frame_idx - 1, 0)] <= 0)
+                & (self.mask.sum(1) < 2))[0]
+            if not junk.size:
+                return -1
+            s = int(junk[0])
         self.ids[s] = fid
         self.pts[s] = 0
         self.vel[s] = 0

@@ -102,6 +102,32 @@ def _device_select(cfg: ant.SelectorConfig, kappa: int, n_imu: int,
     return sel, OmF, ps, qs
 
 
+def _np_quat_rot(q):
+    w, x, y, z = q
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)]])
+
+
+def _np_quat_mul(q, p):
+    qw, qx, qy, qz = q
+    pw, px, py, pz = p
+    return np.array([
+        qw * pw - qx * px - qy * py - qz * pz,
+        qw * px + qx * pw + qy * pz - qz * py,
+        qw * py - qx * pz + qy * pw + qz * px,
+        qw * pz + qx * py - qy * px + qz * pw])
+
+
+def _np_exp_quat(theta):
+    angle = np.linalg.norm(theta)
+    if angle < 1e-9:
+        return np.array([1.0, *(0.5 * theta)])
+    k = np.sin(0.5 * angle) / angle
+    return np.array([np.cos(0.5 * angle), *(k * theta)])
+
+
 class AttentionSelector:
     """Host wrapper holding the id watermark + config."""
 
@@ -110,7 +136,10 @@ class AttentionSelector:
                  qic: Optional[np.ndarray] = None,
                  frame_dt: float = 0.1, imu_rate: float = 200.0,
                  policy: str = "anticipate", seed: int = 0,
-                 gt_provider=None):
+                 gt_provider=None,
+                 validity_aware: bool = False,
+                 validity_thresh: float = 0.15,
+                 validity_ema: float = 0.7):
         # gt_provider(t) -> (gt_p [H+1,3], gt_q [H+1,4]) at the horizon frame
         # times — enables the reference's groundTruth horizon mode (planner/
         # MPC emulation, use_ground_truth_hgen)
@@ -134,6 +163,23 @@ class AttentionSelector:
         self.dt_imu = 1.0 / imu_rate
         self.gt_provider = gt_provider
         self.frame_dt = frame_dt
+        # horizon-validity-aware policy (round-5): the anticipation win is
+        # measured to exist exactly where the horizon is valid (full-length
+        # κ=30 GT-hgen grid beats best-of-quality/random on 4/6 sequences,
+        # results/r5/grid_full_gthgen.json) and to lose where the
+        # constant-ω/a IMU extrapolation diverges from the actual motion.
+        # Validity is measured ONLINE: every frame the horizon's own
+        # one-step prediction is checked against the realized state; when
+        # the EMA of the relative error exceeds the threshold, selection
+        # falls back to quality (top-κ by score) until the motion becomes
+        # predictable again.
+        self.validity_aware = validity_aware
+        self.validity_thresh = validity_thresh
+        self.validity_ema = validity_ema
+        self._pred = None     # (t_expected, p_pred, step_mag)
+        self._mis = 0.0       # EMA of relative one-step prediction error
+        self.diag_mis: list = []
+        self.diag_fallback = 0
 
     def select(self, feats: dict, state_k1: dict, db=None,
                initialized: bool = True) -> dict:
@@ -174,9 +220,13 @@ class AttentionSelector:
         if kappa <= 0 or not new:
             return tracked
 
-        if self.policy != "anticipate":
+        active_policy = self.policy
+        if self.validity_aware and self.policy == "anticipate":
+            active_policy = self._validity_update(state_k1)
+
+        if active_policy != "anticipate":
             ids = list(new.keys())
-            if self.policy == "quality":
+            if active_policy == "quality":
                 ids.sort(key=lambda i: -new[i][2])   # top-κ by score
             else:
                 self.rng.shuffle(ids)
@@ -249,3 +299,45 @@ class AttentionSelector:
                 out[i] = new[i]
                 self.tracked_ids.add(i)
         return out
+
+    # ------------------------------------------------------------------
+    # horizon validity (round-5 validity_aware policy)
+    # ------------------------------------------------------------------
+
+    def _validity_update(self, state_k1: dict) -> str:
+        """Check the previous frame's one-step horizon prediction against
+        the realized state, update the mismatch EMA, store this frame's
+        prediction, and return the policy to use NOW."""
+        t = state_k1.get("t")
+        p_now = np.asarray(state_k1["p"], float)
+        if t is not None and self._pred is not None:
+            t_exp, p_pred, step = self._pred
+            if abs(t - t_exp) < 0.5 * self.frame_dt:
+                rel = np.linalg.norm(p_now - p_pred) / max(step, 0.02)
+                self._mis = self.validity_ema * self._mis \
+                    + (1.0 - self.validity_ema) * rel
+                self.diag_mis.append(float(self._mis))
+        # one-step constant-ω/a prediction — the numpy mirror of
+        # ant.imu_horizon's first frame_step (n_imu substeps)
+        p = p_now.copy()
+        v = np.asarray(state_k1["v"], float).copy()
+        q = np.asarray(state_k1["q"], float).copy()
+        a_b = np.asarray(state_k1["acc"], float) \
+            - np.asarray(state_k1.get("ba", np.zeros(3)), float)
+        w = (np.asarray(state_k1["gyr"], float)
+             - np.asarray(state_k1.get("bg", np.zeros(3)), float))
+        g = np.array([0.0, 0.0, -9.81007])
+        dt = self.dt_imu
+        for _ in range(self.n_imu):
+            a_w = _np_quat_rot(q) @ a_b + g
+            p += v * dt + 0.5 * a_w * dt * dt
+            v += a_w * dt
+            q = _np_quat_mul(q, _np_exp_quat(w * dt))
+            q /= np.linalg.norm(q)
+        if t is not None:
+            self._pred = (t + self.frame_dt, p,
+                          float(np.linalg.norm(p - p_now)))
+        if self._mis > self.validity_thresh:
+            self.diag_fallback += 1
+            return "quality"
+        return "anticipate"

@@ -82,6 +82,7 @@ def run_one(sequence: str, policy: Optional[str] = "anticipate",
             clean_velocity: bool = False,
             prob_weight: bool = False,
             survival_weighting: bool = False,
+            validity_aware: bool = False,
             out_dir: Optional[str] = None, seed: int = 0,
             dtype: str = "f64", accum: str = None) -> dict:
     """One (sequence, policy, κ) cell. policy=None disables selection
@@ -125,7 +126,8 @@ def run_one(sequence: str, policy: Optional[str] = "anticipate",
             gt_provider = make_gt_provider(traj, scfg.horizon)
         sel = AttentionSelector(scfg, max_candidates=detect_count,
                                 policy=policy, seed=seed,
-                                tic=tic, qic=qic, gt_provider=gt_provider)
+                                tic=tic, qic=qic, gt_provider=gt_provider,
+                                validity_aware=validity_aware)
     import jax.numpy as jnp
     est = VioEstimator(wcfg, selector=sel, tic=tic, qic=qic,
                        prob_weight=prob_weight,
@@ -156,6 +158,14 @@ def run_one(sequence: str, policy: Optional[str] = "anticipate",
         row["degrade_after"] = degrade_after
     if survival_weighting:
         row["survival_weighting"] = True
+    if validity_aware and sel is not None:
+        import numpy as _np
+        row["validity_aware"] = True
+        row["fallback_frames"] = sel.diag_fallback
+        row["mis_median"] = (float(_np.median(sel.diag_mis))
+                             if sel.diag_mis else None)
+        row["mis_p90"] = (float(_np.percentile(sel.diag_mis, 90))
+                          if sel.diag_mis else None)
     if prob_weight:
         row["prob_weight"] = True
     if out_dir:
@@ -225,6 +235,7 @@ if __name__ == "__main__":
     ap.add_argument("--slip-px", type=float, default=2.5)
     ap.add_argument("--degrade-after", type=float, default=0.0)
     ap.add_argument("--survival", action="store_true")
+    ap.add_argument("--validity-aware", action="store_true")
     ap.add_argument("--quality-beta", nargs=2, type=float,
                     default=[5.0, 2.0])
     ap.add_argument("--real-extrinsics", action="store_true")
@@ -254,6 +265,7 @@ if __name__ == "__main__":
         clean_velocity=args.clean_velocity,
         prob_weight=args.prob_weight,
         survival_weighting=args.survival,
+        validity_aware=args.validity_aware,
         seeds=args.seeds, n_workers=args.workers, out_dir=args.out)
     if args.json_out:
         with open(args.json_out, "w") as f:

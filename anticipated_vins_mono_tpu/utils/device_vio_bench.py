@@ -28,7 +28,7 @@ import time
 def main(duration: float = 20.0, width: int = 752, height: int = 480,
          n_feats: int = 150, out: str | None = None, dtype_str: str = None,
          kappa: int = 0, accum: str = None, host_control: bool = False,
-         corrupt_at: float = 0.0):
+         corrupt_at: float = 0.0, laps: float = None):
     import jax
     from anticipated_vins_mono_tpu.utils.jaxenv import enable_compile_cache
     enable_compile_cache()
@@ -49,7 +49,14 @@ def main(duration: float = 20.0, width: int = 752, height: int = 480,
     fx = 0.6 * width
     cam = cameras.PinholeCamera.create(fx, fx, width / 2.0, height / 2.0,
                                        width=width, height=height)
-    traj = loop_trajectory(duration, laps=duration / 10.0, radius=3.0)
+    # default 1 lap / 10 s; the corruption-recovery protocol uses slower
+    # laps (--laps) because the REAL SfM init chain needs frame pairs that
+    # share ≥20 tracks — at 36°/s yaw a feature crosses the FOV in ~1.2 s
+    # and no 11-frame window pair overlaps (the reference's GlobalSFM has
+    # the same structural requirement, initial_sfm.cpp:117-244)
+    traj = loop_trajectory(duration,
+                           laps=duration / 10.0 if laps is None else laps,
+                           radius=3.0)
     world = render.make_box_world(traj.p, margin=5.0, seed=0)
     crays = render.camera_rays(cam)
     R_all = np.asarray(lie.quat_to_rot(jnp.asarray(traj.q)))
@@ -291,7 +298,8 @@ if __name__ == "__main__":
     ap.add_argument("--corrupt-at", type=float, default=0.0,
                     help="fraction of the run at which to corrupt the "
                          "device state (failure-injection protocol)")
+    ap.add_argument("--laps", type=float, default=None)
     a = ap.parse_args()
     main(a.duration, a.width, a.height, out=a.out, dtype_str=a.dtype,
          kappa=a.kappa, accum=a.accum, host_control=a.host_control,
-         corrupt_at=a.corrupt_at)
+         corrupt_at=a.corrupt_at, laps=a.laps)
