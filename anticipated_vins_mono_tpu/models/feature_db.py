@@ -107,6 +107,9 @@ class FeatureDB:
             junk = np.nonzero(
                 (self.ids >= 0)
                 & (self.mask[:, max(frame_idx - 1, 0)] <= 0)
+                & (self.mask[:, frame_idx] <= 0)   # not just inserted —
+                # without this the slot JUST filled for the previous new
+                # feature of this same frame is immediately re-evicted
                 & (self.mask.sum(1) < 2))[0]
             if not junk.size:
                 return -1

@@ -174,11 +174,29 @@ def run_loop_benchmark(duration: float = 90.0, laps: float | None = None,
     # updatePath parity (pose_graph.cpp:561-575 + updatePath): after each
     # optimize() the reference republishes the WHOLE corrected path — the
     # retrospective loop-corrected trajectory, which also repairs segments
-    # recorded before the first loop fired. Evaluate it too.
+    # recorded before the first loop fired. Evaluate it over the NEWEST
+    # keyframe's gauge-connected sequence group only: a mid-run VIO reboot
+    # opens a new sequence in its own frame, and unless a cross-sequence
+    # loop aligned them, mixing groups in one SE3 alignment measures the
+    # reboot discontinuity, not the PGO (measured: 19.3 m "path ATE" on a
+    # graph whose every pose is within 1.3 m of its own VIO).
     g = node.graph
     t_g = np.array([e.t for e in node.entries])
-    ate_path = ate_rmse(t_g, g.pos[: g.n], traj.t, traj.p) \
-        if g.n >= 8 else float("nan")
+    ate_path = float("nan")
+    n_path = 0
+    if g.n >= 8:
+        anchored = {int(g.seq_id[g.n - 1])}
+        for _ in range(pg.MAX_SEQUENCES):
+            for e in range(int(g.n_loops)):
+                si = int(g.seq_id[g.loop_i[e]])
+                sj = int(g.seq_id[g.loop_j[e]])
+                if si in anchored or sj in anchored:
+                    anchored |= {si, sj}
+        sel = np.array([int(s) in anchored for s in g.seq_id[: g.n]])
+        n_path = int(sel.sum())
+        if n_path >= 8:
+            ate_path = ate_rmse(t_g[sel], g.pos[: g.n][sel],
+                                traj.t, traj.p)
 
     if out_prefix:
         write_tum(out_prefix + "_vio.tum", t_v, p_v, q_v)
@@ -204,10 +222,13 @@ def run_loop_benchmark(duration: float = 90.0, laps: float | None = None,
                            for k in ks])
         for e in range(int(g.n_loops)):
             i, j = int(g.loop_i[e]), int(g.loop_j[e])
-            yaw_i = np.deg2rad(gt_ypr[i, 0])
-            c, s_ = np.cos(yaw_i), np.sin(yaw_i)
-            Rz = np.array([[c, -s_, 0], [s_, c, 0], [0, 0, 1.0]])
-            t_gt = Rz.T @ (gt_p[j] - gt_p[i])
+            # FULL rotation of keyframe i — the edge convention
+            # (find_connection rel_t = R_wbᵀ·Δp and the PGO's
+            # _edge_residual use ypr(i), NOT yaw-only; on this rig the
+            # body carries ~-90° roll, so a yaw-only GT frame scrambles
+            # y/z and overstates t_err by the full |Δp|)
+            R_i = np.asarray(lie.ypr_to_rot(jnp.asarray(gt_ypr[i])))
+            t_gt = R_i.T @ (gt_p[j] - gt_p[i])
             dyaw_gt = gt_ypr[j, 0] - gt_ypr[i, 0]
             dyaw_gt = (dyaw_gt + 180.0) % 360.0 - 180.0
             dyaw_err = (float(g.loop_yaw[e]) - dyaw_gt + 180.0) % 360.0 - 180.0
@@ -231,6 +252,7 @@ def run_loop_benchmark(duration: float = 90.0, laps: float | None = None,
         "loops_accepted": len(node.loops),
         "ate_vio": float(ate_vio), "ate_loop": float(ate_loop),
         "ate_loop_path": float(ate_path),
+        "path_keyframes": n_path,
         "improvement": float(ate_vio / max(ate_loop, 1e-9)),
         "improvement_path": float(ate_vio / max(ate_path, 1e-9)),
         "vio_failures": est2.diag.failures,
