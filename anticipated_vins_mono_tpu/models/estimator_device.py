@@ -82,6 +82,8 @@ class DeviceVioParams(NamedTuple):
     reboot_on_fail: bool = True
     # weight of the post-reboot velocity-damping rows (see _measurements)
     recovery_vel_weight: float = 1.5
+    # junk-slot eviction in _db_add_frame (FeatureDB._alloc parity)
+    slot_evict: bool = True
 
 
 class DeviceVioState(NamedTuple):
@@ -223,7 +225,7 @@ def _zupt_flag(pr: DeviceVioParams, dts, accs, gyrs, bg_prev):
 
 
 def _db_add_frame(st: DeviceVioState, k: int, in_ids, in_pts, in_vel,
-                  in_prob, in_active, min_parallax):
+                  in_prob, in_active, min_parallax, slot_evict: bool = True):
     """Observation insertion + keyframe decision
     (feature_manager.cpp:45-139 addFeatureCheckParallax) as masked array
     ops: id matching is a one-hot [F,N] equality; free-slot allocation is
@@ -249,6 +251,8 @@ def _db_add_frame(st: DeviceVioState, k: int, in_ids, in_pts, in_vel,
     # index), then junk slots (by index) — the host's loop order.
     junk = occupied & (st.mask[:, k - 1] <= 0) \
         & (jnp.sum(st.mask, axis=1) < 2)
+    if not slot_evict:
+        junk = jnp.zeros_like(junk)
     avail = free | junk
     F_ = st.ids.shape[0]
     arange_f = jnp.arange(F_)
@@ -339,10 +343,18 @@ def _measurements(st: DeviceVioState, pr: DeviceVioParams, feat_valid):
             # tilt to the IMU residuals and lets the solver observe it.
             recov = (st.since_fail < 2 * cfg.nf).astype(st.pts.dtype)
             zupt_w = zupt_w + recov * pr.recovery_vel_weight
+    # roll/pitch anchor: pinned in normal operation (matches the host and
+    # feeds absolute attitude into the first prior); FREED during the
+    # post-reboot recovery window so the one-sample g2R attitude error
+    # stays correctable (see window._anchor_rows pin_rp note)
+    pin_rp = None
+    if pr.reboot_on_fail:
+        pin_rp = (st.since_fail >= 2 * cfg.nf).astype(st.pts.dtype)
     return WindowMeasurements(
         pre=pre, pre_valid=jnp.ones(W, st.pts.dtype),
         pts=st.pts, vel=st.vel, mask=st.mask, anchor=_anchor(st),
         feat_valid=feat_valid, prior=st.prior,
+        anchor_pin_rp=pin_rp,
         zupt_w=zupt_w,
         td_obs=st.td_at_frame if cfg.estimate_td else None)
 
@@ -613,7 +625,8 @@ def vio_step(pr: DeviceVioParams, st: DeviceVioState,
 
     # -- feature DB insert + keyframe decision
     st, keyframe, tracked = _db_add_frame(
-        st, k, in_ids, in_pts, in_vel, in_prob, in_active, pr.min_parallax)
+        st, k, in_ids, in_pts, in_vel, in_prob, in_active, pr.min_parallax,
+        slot_evict=pr.slot_evict)
 
     # -- triangulate fresh landmarks
     fv = _feat_valid(st)

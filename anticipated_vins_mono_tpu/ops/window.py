@@ -161,6 +161,10 @@ class WindowMeasurements(NamedTuple):
     # factors added to the BA at :760-792). None = no relo frame attached.
     relo_pts: jax.Array = None    # [F,3] matched obs in the relo frame
     relo_valid: jax.Array = None  # [F] 1/0 match per landmark slot
+    # roll/pitch anchor scaling (see _anchor_rows pin_rp); None = pin.
+    # The device reboot path passes (since_fail >= 2·NF) so the one-sample
+    # g2R attitude stays correctable during recovery.
+    anchor_pin_rp: jax.Array = None
     # zero-velocity pseudo-measurements (EXTENSION over the reference): the
     # accel-bias↔tilt direction is unobservable during long stationary
     # phases and runs away at small feature budgets — the reference's own
@@ -340,35 +344,38 @@ def _relo_factor_rows(state: WindowState, meas: WindowMeasurements,
 
 
 def _anchor_rows(state: WindowState, anchor_ref, cfg: WindowConfig,
-                 has_prior: jax.Array):
-    """Gauge anchor: soft prior pinning pose 0's POSITION + YAW to their
-    values at solve entry, active only when no marginalization prior exists
-    yet. The reference leaves gauge to the prior + yaw re-anchoring
-    (estimator.cpp:521-568); this anchor makes the very first solves
-    deterministic and well-posed.
+                 has_prior: jax.Array, pin_rp=None):
+    """Gauge anchor: soft prior pinning pose 0 to its value at solve entry,
+    active only when no marginalization prior exists yet. The reference
+    leaves gauge to the prior + yaw re-anchoring (estimator.cpp:521-568);
+    this anchor makes the very first solves deterministic and well-posed.
 
-    Position+yaw ONLY — the 4 truly unobservable VIO dofs. Pinning the full
-    rotation (6-dof) over-constrains exactly the roll/pitch the
-    accelerometer must be free to correct: measured on the device-reboot
-    path, a 6-dof anchor locks the one-sample g2R attitude error in and
-    the trajectory accelerates at g·sin(err) forever (speed ramping
-    2.5→12 m/s with near-zero cost) — vision cannot see a uniformly
-    accelerating gauge and the anchor forbids the fix."""
+    `pin_rp` (traced, default 1.0) scales the ROLL/PITCH rows. Healthy
+    paths pin the full rotation: the init chain has just gravity-aligned
+    the window, the pin is correct, and it flows into the first
+    marginalization prior as absolute attitude information (dropping it
+    costs measurable accuracy on weakly-excited circuits — capstone A/B
+    0.45 → 1.6 m). The device REBOOT path passes 0: there the anchor
+    attitude is one raw g2R sample whose error must stay correctable —
+    a hard 6-dof pin locks it in and the trajectory accelerates at
+    g·sin(err) forever (measured 26° tilt, imu_chi2 1e-18, +4.5 m/s²)."""
     d = cfg.dim
     dtype = state.p.dtype
     p_ref, q_ref = anchor_ref
+    if pin_rp is None:
+        pin_rp = jnp.asarray(1.0, dtype)
     w = jnp.sqrt(jnp.asarray(cfg.anchor_weight, dtype)) * (1.0 - has_prior)
     qrel = lie.quat_mul(lie.quat_conj(q_ref), state.q[0])
     dth = 2.0 * qrel[1:4] * jnp.where(qrel[0] >= 0, 1.0, -1.0)
-    # world-frame yaw component of the body-frame rotation error:
-    # e_zᵀ·(R_ref·dth) — row 2 of R_ref both whitens the residual and is
-    # its Jacobian w.r.t. the body-tangent rotation block
-    zrow = lie.quat_to_rot(q_ref)[2, :]
-    r = w * jnp.concatenate([state.p[0] - p_ref,
-                             jnp.dot(zrow, dth)[None],
-                             jnp.zeros(2, dtype)])
+    # rotation error expressed on world axes: rows of R_ref whiten the
+    # body-tangent error; the world-z row is yaw (always pinned), the
+    # world-x/y rows are roll/pitch (scaled by pin_rp)
+    R_ref = lie.quat_to_rot(q_ref)
+    w_rows = jnp.stack([w * pin_rp, w * pin_rp, w])
+    r_rot = w_rows * (R_ref @ dth)
+    r = jnp.concatenate([w * (state.p[0] - p_ref), r_rot])
     J = jnp.zeros((6, d), dtype).at[:3, :3].set(jnp.eye(3, dtype=dtype) * w)
-    J = J.at[3, 3:6].set(zrow * w)
+    J = J.at[3:6, 3:6].set(w_rows[:, None] * R_ref)
     return r, J
 
 
@@ -449,7 +456,8 @@ def linearize(state: WindowState, meas: WindowMeasurements, cfg: WindowConfig,
 
     if anchor_ref is None:
         anchor_ref = (state.p[0], state.q[0])
-    a_res, a_rows = _anchor_rows(state, anchor_ref, cfg, meas.prior.weight)
+    a_res, a_rows = _anchor_rows(state, anchor_ref, cfg, meas.prior.weight,
+                 pin_rp=meas.anchor_pin_rp)
 
     extra_res, extra_rows = [], []
     if meas.zupt_w is not None:
@@ -543,7 +551,8 @@ def _cost_terms(state: WindowState, meas: WindowMeasurements,
 
     if anchor_ref is None:
         anchor_ref = (state.p[0], state.q[0])
-    a_res, _ = _anchor_rows(state, anchor_ref, cfg, meas.prior.weight)
+    a_res, _ = _anchor_rows(state, anchor_ref, cfg, meas.prior.weight,
+                 pin_rp=meas.anchor_pin_rp)
     terms.append(0.5 * a_res * a_res)
     if meas.zupt_w is not None:
         terms.append(0.5 * ((meas.zupt_w[:, None] * state.v) ** 2)
@@ -713,7 +722,8 @@ def normal_equations_fast(state: WindowState, meas: WindowMeasurements,
 
     if anchor_ref is None:
         anchor_ref = (state.p[0], state.q[0])
-    a_res, a_rows = _anchor_rows(state, anchor_ref, cfg, meas.prior.weight)
+    a_res, a_rows = _anchor_rows(state, anchor_ref, cfg, meas.prior.weight,
+                 pin_rp=meas.anchor_pin_rp)
 
     extra_res, extra_rows = [], []
     if meas.zupt_w is not None:

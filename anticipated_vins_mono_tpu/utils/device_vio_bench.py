@@ -28,7 +28,8 @@ import time
 def main(duration: float = 20.0, width: int = 752, height: int = 480,
          n_feats: int = 150, out: str | None = None, dtype_str: str = None,
          kappa: int = 0, accum: str = None, host_control: bool = False,
-         corrupt_at: float = 0.0, laps: float = None):
+         corrupt_at: float = 0.0, laps: float = None,
+         corrupt_debug: bool = False):
     import jax
     from anticipated_vins_mono_tpu.utils.jaxenv import enable_compile_cache
     enable_compile_cache()
@@ -149,12 +150,15 @@ def main(duration: float = 20.0, width: int = 752, height: int = 480,
         return rows
 
     vst = ed.vio_init_from_host(est)
+    import os
+    evict = os.environ.get("ANT_SLOT_EVICT", "1") != "0"
     if kappa:
         from anticipated_vins_mono_tpu.models import anticipation as ant
         pr = ed.DeviceVioParams(
-            wcfg=wcfg, sel_cfg=ant.SelectorConfig(max_features=kappa))
+            wcfg=wcfg, sel_cfg=ant.SelectorConfig(max_features=kappa),
+            slot_evict=evict)
     else:
-        pr = ed.DeviceVioParams(wcfg=wcfg)
+        pr = ed.DeviceVioParams(wcfg=wcfg, slot_evict=evict)
     print(f"hand-off at frame {f}", flush=True)
 
     # ---- fused camera-to-trajectory step
@@ -194,6 +198,24 @@ def main(duration: float = 20.0, width: int = 752, height: int = 480,
         kc = max(f + 1, int(n_total * corrupt_at))
         (tst1, vst1), outs1 = run_scan(tracker.state, vst, make_xs(f, kc))
         vst_bad = vst1._replace(v=vst1.v + 30.0, p=vst1.p + 50.0)
+        if corrupt_debug:
+            # step-by-step forensics of the device recovery (no scan)
+            tst_d, vst_d = tst1, vst_bad
+            for gdbg in range(kc, min(kc + 40, n_total)):
+                tst_d, (ids_, rays_, vel_, prob_, act_) = td.tracker_step(
+                    cam, tparams, tst_d, jnp.asarray(imgs[gdbg], jnp.float32),
+                    float(ts[gdbg]))
+                vst_d, o = ed.vio_step(
+                    pr, vst_d, ids_, rays_, vel_, prob_, act_,
+                    j(imu_dts[gdbg]), j(imu_acc[gdbg]), j(imu_gyr[gdbg]),
+                    j(acc0[gdbg]), j(gyr0[gdbg]))
+                print(f"dbg g={gdbg} fail={int(bool(o['fail']))} "
+                      f"speed={float(o['speed']):.2f} "
+                      f"cost={float(o['cost']):.3g} "
+                      f"tracked={float(o['tracked']):.0f} "
+                      f"n_solved={int(o['n_solved'])} "
+                      f"sf={int(np.asarray(vst_d.since_fail))}", flush=True)
+            return {}
         (tst2, vst2), outs2 = run_scan(tst1, vst_bad,
                                        make_xs(kc, n_total))
         fails = np.asarray(outs2[4])
@@ -299,7 +321,9 @@ if __name__ == "__main__":
                     help="fraction of the run at which to corrupt the "
                          "device state (failure-injection protocol)")
     ap.add_argument("--laps", type=float, default=None)
+    ap.add_argument("--corrupt-debug", action="store_true")
     a = ap.parse_args()
     main(a.duration, a.width, a.height, out=a.out, dtype_str=a.dtype,
          kappa=a.kappa, accum=a.accum, host_control=a.host_control,
-         corrupt_at=a.corrupt_at, laps=a.laps)
+         corrupt_at=a.corrupt_at, laps=a.laps,
+         corrupt_debug=a.corrupt_debug)

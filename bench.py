@@ -19,9 +19,11 @@ import time
 import jax
 
 # persistent compilation cache: the remote-tunnel TPU compile of the solver
-# takes minutes; cache it across processes
+# takes minutes; cache it across processes (machine-keyed — a shared
+# literal dir poisons runs across VM types, see jaxenv.cache_dir)
 try:
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    from anticipated_vins_mono_tpu.utils.jaxenv import cache_dir
+    jax.config.update("jax_compilation_cache_dir", cache_dir())
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 except Exception:
     pass
